@@ -1,0 +1,285 @@
+"""Unit + parity tests for the L0 causal-OT / Sinkhorn numerics.
+
+Three tiers:
+  1. NumPy rederivation of the reference math (always runs).
+  2. Property tests (divergence structure, scale invariance).
+  3. Reference-oracle parity: executes /root/reference/gan_utils.py (TF2)
+     on the same inputs and compares at fp32 tolerances.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kccotgan_tpu.ot import (
+    benchmark_sinkhorn,
+    bi_causal_modified_cost,
+    causal_penalty,
+    compute_sinkhorn,
+    compute_sinkhorn_loss,
+    cost_xy,
+    martingale_regularization,
+    modified_cost,
+    sinkhorn_from_cost,
+)
+
+B, T, F, J = 4, 6, 10, 3
+SCALING = 1.0 / 15.0
+
+
+def _inputs(rng, b=B, t=T, f=F, j=J):
+    x = rng.normal(size=(b, t, f)).astype(np.float32)
+    y = rng.normal(size=(b, t, f)).astype(np.float32)
+    h = rng.normal(size=(b, t, j)).astype(np.float32)
+    m = rng.normal(size=(b, t, j)).astype(np.float32)
+    return x, y, h, m
+
+
+# ---------------------------------------------------------------- tier 1
+
+
+def np_cost_xy(x, y, s):
+    d = x[:, None] - y[None, :]
+    return (d**2).sum(-1).sum(-1) * s
+
+
+def np_causal(h, m, s):
+    dm = m[:, 1:] - m[:, :-1]
+    ht = h[:, :-1]
+    return np.einsum("atj,btj->ab", ht, dm) * s
+
+
+def np_sinkhorn(c, eps=1.0, l=100):
+    n = c.shape[0]
+    log_mu = np.full((n, 1), -np.log(n))
+    u = np.zeros((n, 1))
+    v = np.zeros((n, 1))
+    for _ in range(l):
+        muv = (-c + u + v.T) / eps
+        u = eps * (log_mu - _lse(muv)) + u
+        muv = (-c + u + v.T) / eps
+        v = eps * (log_mu - _lse(muv.T)) + v
+    muv = (-c + u + v.T) / eps
+    return float((np.exp(muv) * c).sum())
+
+
+def _lse(a):
+    mx = a.max(axis=1, keepdims=True)
+    return mx + np.log(np.exp(a - mx).sum(axis=1, keepdims=True))
+
+
+def test_cost_xy_matches_numpy(rng):
+    x, y, _, _ = _inputs(rng)
+    want = np_cost_xy(x, y, SCALING)
+    got_exact = cost_xy(jnp.array(x), jnp.array(y), SCALING, method="exact")
+    got_gram = cost_xy(jnp.array(x), jnp.array(y), SCALING, method="gram")
+    np.testing.assert_allclose(got_exact, want, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(got_gram, want, rtol=1e-4, atol=1e-4)
+
+
+def test_causal_penalty_matches_numpy(rng):
+    _, _, h, m = _inputs(rng)
+    want = np_causal(h, m, SCALING)
+    got = causal_penalty(jnp.array(h), jnp.array(m), SCALING)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_modified_cost_matches_numpy(rng):
+    x, y, h, m = _inputs(rng)
+    want = np_cost_xy(x, y, SCALING) + np_causal(h, m, SCALING)
+    got = modified_cost(
+        jnp.array(x), jnp.array(y), jnp.array(h), jnp.array(m), SCALING,
+        cost_method="exact",
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sinkhorn_matches_numpy(rng):
+    x, y, h, m = _inputs(rng)
+    c = np_cost_xy(x, y, SCALING) + np_causal(h, m, SCALING)
+    want = np_sinkhorn(c.astype(np.float64))
+    got = compute_sinkhorn(
+        jnp.array(x), jnp.array(y), jnp.array(h), jnp.array(m), SCALING,
+        cost_method="exact",
+    )
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_sinkhorn_early_stop_variant(rng):
+    x, y, _, _ = _inputs(rng)
+    c = cost_xy(jnp.array(x), jnp.array(y), SCALING)
+    fixed = sinkhorn_from_cost(c, num_iters=50)
+    stopped = sinkhorn_from_cost(c, num_iters=50, lmin=1, threshold=1e30)
+    # threshold huge -> stops after lmin iterations; must differ from 50-iter
+    one_iter = sinkhorn_from_cost(c, num_iters=1)
+    np.testing.assert_allclose(float(stopped), float(one_iter), rtol=1e-6)
+    assert np.isfinite(float(fixed))
+
+
+def test_martingale_matches_numpy(rng):
+    _, _, _, m = _inputs(rng)
+    std = m.std(axis=(0, 1))
+    n = (m[:, 1:] - m[:, :-1]) / (std + 1e-6)
+    want = 2.5 * np.abs(n.sum(0) / m.shape[0]).sum() * SCALING
+    got = martingale_regularization(jnp.array(m), 2.5, SCALING)
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+# ---------------------------------------------------------------- tier 2
+
+
+def test_mixed_divergence_near_zero_for_identical(rng):
+    x, _, h, m = _inputs(rng)
+    loss = compute_sinkhorn_loss(
+        jnp.array(x), jnp.array(x), SCALING,
+        jnp.array(h), jnp.array(m), jnp.array(h), jnp.array(m),
+        video=False,
+    )
+    # 2*W(x,x) - W(x,x) - W(x,x) = 0 exactly (same cost matrices)
+    assert abs(float(loss)) < 1e-4
+
+
+def test_martingale_scale_invariance(rng):
+    _, _, _, m = _inputs(rng)
+    p1 = martingale_regularization(jnp.array(m), 1.0, SCALING)
+    p2 = martingale_regularization(jnp.array(m * 37.0), 1.0, SCALING)
+    np.testing.assert_allclose(float(p1), float(p2), rtol=1e-3)
+
+
+def test_sinkhorn_gradients_finite(rng):
+    x, y, h, m = _inputs(rng)
+
+    def loss_fn(xx):
+        return compute_sinkhorn(
+            xx, jnp.array(y), jnp.array(h), jnp.array(m), SCALING
+        )
+
+    g = jax.grad(loss_fn)(jnp.array(x))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_video_flatten_semantics(rng):
+    # [B,H,T,W,C] -> transpose to [B,T,H,W,C] -> flatten frames
+    vid = rng.normal(size=(2, 4, 3, 4, 1)).astype(np.float32)
+    from kccotgan_tpu.ot import flatten_video
+
+    flat = np.asarray(flatten_video(jnp.array(vid)))
+    want = np.transpose(vid, (0, 2, 1, 3, 4)).reshape(2, 3, -1)
+    np.testing.assert_allclose(flat, want)
+
+
+# ---------------------------------------------------------------- tier 3
+
+
+@pytest.mark.reference_oracle
+def test_parity_vs_reference_modified_cost(rng):
+    from tests._reference_oracle import load_reference_module
+
+    ref = load_reference_module("gan_utils")
+    x, y, h, m = _inputs(rng)
+    want = ref.modified_cost(x, y, h, m, SCALING).numpy()
+    got = np.asarray(
+        modified_cost(
+            jnp.array(x), jnp.array(y), jnp.array(h), jnp.array(m), SCALING,
+            cost_method="exact",
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.reference_oracle
+def test_parity_vs_reference_sinkhorn(rng):
+    from tests._reference_oracle import load_reference_module
+
+    ref = load_reference_module("gan_utils")
+    x, y, h, m = _inputs(rng)
+    want = float(ref.compute_sinkhorn(x, y, h, m, SCALING))
+    got = float(
+        compute_sinkhorn(
+            jnp.array(x), jnp.array(y), jnp.array(h), jnp.array(m), SCALING,
+            cost_method="exact",
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # gram cost path agrees at slightly looser fp32 tolerance
+    got_gram = float(
+        compute_sinkhorn(
+            jnp.array(x), jnp.array(y), jnp.array(h), jnp.array(m), SCALING,
+        )
+    )
+    np.testing.assert_allclose(got_gram, want, rtol=1e-4)
+
+
+@pytest.mark.reference_oracle
+def test_parity_vs_reference_mixed_loss_video(rng):
+    from tests._reference_oracle import load_reference_module
+
+    ref = load_reference_module("gan_utils")
+    b, hgt, t, wid, c = 3, 4, 5, 4, 1
+    real = rng.uniform(size=(b, hgt, t, wid, c)).astype(np.float32)
+    fake = rng.uniform(size=(b, hgt, t, wid, c)).astype(np.float32)
+    hf = rng.normal(size=(b, t, J)).astype(np.float32)
+    mr = rng.normal(size=(b, t, J)).astype(np.float32)
+    hr = rng.normal(size=(b, t, J)).astype(np.float32)
+    mf = rng.normal(size=(b, t, J)).astype(np.float32)
+    # reference signature binds sinkhorn_eps/l into unused params (quirk #1)
+    want = float(
+        ref.compute_sinkhorn_loss(
+            real, fake, SCALING, 0.8, 100, hf, mr, hr, mf, video=True
+        )
+    )
+    got = float(
+        compute_sinkhorn_loss(
+            jnp.array(real), jnp.array(fake), SCALING,
+            jnp.array(hf), jnp.array(mr), jnp.array(hr), jnp.array(mf),
+            video=True, cost_method="exact",
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.reference_oracle
+def test_parity_vs_reference_martingale(rng):
+    from tests._reference_oracle import load_reference_module
+
+    ref = load_reference_module("gan_utils")
+    _, _, _, m = _inputs(rng)
+    want = float(
+        ref.scale_invariante_martingale_regularization(m, 2.5, SCALING)
+    )
+    got = float(martingale_regularization(jnp.array(m), 2.5, SCALING))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.reference_oracle
+def test_parity_vs_reference_benchmark_sinkhorn(rng):
+    from tests._reference_oracle import load_reference_module
+
+    ref = load_reference_module("gan_utils")
+    x, y, _, _ = _inputs(rng)
+    want = float(ref.benchmark_sinkhorn(x, y, SCALING))
+    got = float(
+        benchmark_sinkhorn(
+            jnp.array(x), jnp.array(y), SCALING, cost_method="exact"
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.reference_oracle
+def test_parity_vs_reference_bicausal(rng):
+    from tests._reference_oracle import load_reference_module
+
+    ref = load_reference_module("gan_utils")
+    x, y, h, m = _inputs(rng)
+    hx, my = h[::-1].copy(), m[::-1].copy()
+    want = ref.bi_causal_modified_cost(x, y, h, m, hx, my, SCALING).numpy()
+    got = np.asarray(
+        bi_causal_modified_cost(
+            jnp.array(x), jnp.array(y), jnp.array(h), jnp.array(m),
+            jnp.array(hx), jnp.array(my), SCALING, cost_method="exact",
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
