@@ -1,0 +1,123 @@
+"""Dataclass configuration for training runs.
+
+Replaces the reference's flat argparse namespace (~38 flags,
+`/root/reference/kernel_train.py:361-413`) with typed dataclasses.
+Semantics preserved or deliberately fixed:
+
+* ``scaling_coef`` here is the *raw* flag value; the effective
+  multiplier is ``1 / scaling_coef`` (`kernel_train.py:71`), exposed as
+  the ``effective_scaling`` property.
+* ``sinkhorn_eps`` / ``sinkhorn_l`` are REAL knobs (the reference
+  silently ignored them — quirk ledger #1); defaults equal the
+  reference's effective values (1.0, 100).
+* boolean flags are real booleans (the reference's ``type=bool`` made
+  every passed value truthy — quirk ledger #6).
+* eval-rollout ``z_channels`` follows the config (the reference
+  hardcoded 128 at eval, `kernel_train.py:348` — quirk ledger #5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+__all__ = ["ModelConfig", "TrainConfig", "config_from_dict"]
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    x_height: int = 64
+    x_width: int = 64
+    n_channels: int = 1
+    g_state_size: int = 8
+    d_state_size: int = 8
+    g_filter_size: int = 8
+    d_filter_size: int = 8
+    z_channels: int = 128
+    z_height: int = 4
+    z_width: int = 4
+    use_norm: bool = True  # `--batch_norm` (LayerNorm in G, BatchNorm in D)
+    dropout: float = 0.0
+    rnn_dropout: float = 0.0
+    output_activation: str = "sigmoid"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    # data
+    dname: str = "mmnist"
+    data_path: str = "../data"
+    batch_size: int = 8
+    total_time_steps: int = 15
+    int_time_steps: int = 5
+    n_epochs: int = 100
+
+    # model
+    model: ModelConfig = field(default_factory=ModelConfig)
+
+    # objective
+    sinkhorn_eps: float = 1.0  # reference-effective value (quirk #1)
+    sinkhorn_l: int = 100
+    scaling_coef: float = 15.0  # effective multiplier is 1/this
+    reg_penalty: float = 1.0
+    cost_method: str = "gram"  # 'gram' (MXU) or 'exact' (reference order)
+    sinkhorn_solver: str = "scan"  # 'scan' (XLA loop) or 'pallas' (fused kernel)
+
+    # kernel smoothing
+    kernel: str = "none"  # {'1d','2d','3d','none'}
+    init_sigma: float = 5.0
+    decaying_sigma: bool = False
+    temporal_kernel_size: int = 6
+    spatial_kernel_size: int = 6
+
+    # optimization
+    lr: float = 5e-4
+    warmup_steps: int = 10000
+    decay_steps: int = 5000
+    decay_rate: float = 0.975
+    beta1: float = 0.5
+    beta2: float = 0.9
+    adam_eps: float = 1e-7  # Keras Adam default
+    # The reference calls apply_gradients twice per optimizer per step
+    # (h then m; enc then dec), advancing the Keras LR-schedule step 2x
+    # per iteration.  True reproduces that cadence.
+    keras_double_step_quirk: bool = True
+
+    # parallelism
+    num_devices: int = 1  # data-parallel mesh size
+    global_batch_sinkhorn: bool = True  # all-gather exact global Sinkhorn
+    donate_buffers: bool = True
+
+    # precision
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16' (convs only)
+
+    # bookkeeping
+    seed: int = 1
+    save_freq: int = 10
+    ckpt_freq: int = 10000
+    out_dir: str = "trained"
+    run_name: str = ""
+    checkpoint: bool = False
+    ckpt_path: str = ""
+
+    @property
+    def pred_time_steps(self) -> int:
+        return self.total_time_steps - self.int_time_steps
+
+    @property
+    def effective_scaling(self) -> float:
+        return 1.0 / self.scaling_coef
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def config_from_dict(d: dict) -> TrainConfig:
+    model_d = d.pop("model", {})
+    known_m = {f.name for f in dataclasses.fields(ModelConfig)}
+    known_t = {f.name for f in dataclasses.fields(TrainConfig)} - {"model"}
+    model = ModelConfig(**{k: v for k, v in model_d.items() if k in known_m})
+    return TrainConfig(
+        model=model, **{k: v for k, v in d.items() if k in known_t}
+    )

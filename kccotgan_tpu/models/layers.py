@@ -1,0 +1,332 @@
+"""TPU-first neural layers with Keras-pinned semantics.
+
+These are brand-new implementations designed for XLA/TPU, not ports:
+
+* ``ConvLSTM2D`` — the input-to-hidden convolution for **all timesteps
+  is hoisted out of the recurrence** and computed as one big strided
+  conv over the time-folded batch ``[B*T, H, W, C]`` (one large MXU
+  pass).  The ``lax.scan`` over time then performs only the
+  hidden-to-hidden conv + gate math per step.  This is the single
+  biggest structural win over the reference's per-step Keras ConvLSTM
+  (`/root/reference/gan.py:50-85` uses stock ConvLSTM2D).
+
+* ``LSTM`` — same hoisting for the dense input projection
+  (``[B*T, F] @ [F, 4U]`` on the MXU), scan does the ``[B,U] @ [U,4U]``
+  recurrence.
+
+* ``ConvTranspose2D`` — fractionally-strided conv with TF/Keras 'SAME'
+  semantics (``out = in * stride``), expressed via ``lhs_dilation`` so
+  XLA lowers it onto the MXU directly.
+
+Gate semantics pinned to the Keras layers the reference instantiates
+(verified against the in-image Keras 3.13 oracle by tests):
+gate order [i, f, c, o]; activation tanh; recurrent_activation sigmoid;
+unit forget bias.  Dropout masks are shared across time (Keras rule);
+per-gate input-dropout falls back to a non-hoisted path only when
+dropout > 0 (all reference configs default to 0.0).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+__all__ = [
+    "ConvLSTM2D",
+    "LSTM",
+    "ConvTranspose2D",
+    "Conv2D",
+    "hard_sigmoid",
+    "leaky_relu",
+]
+
+
+def hard_sigmoid(x):
+    """Keras-3 hard sigmoid: relu6(x + 3) / 6."""
+    return jnp.clip(x / 6.0 + 0.5, 0.0, 1.0)
+
+
+def leaky_relu(x, negative_slope: float = 0.3):
+    """Keras LeakyReLU default slope 0.3 (`gan.py:397` passes no alpha)."""
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+_ACTIVATIONS: dict[str, Callable] = {
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "hard_sigmoid": hard_sigmoid,
+    "linear": lambda x: x,
+}
+
+
+def _act(name: str | Callable) -> Callable:
+    if callable(name):
+        return name
+    return _ACTIVATIONS[name]
+
+
+def _same_conv(x, kernel, strides):
+    """NHWC 'SAME' conv (TF semantics)."""
+    dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        x, kernel, strides, "SAME", dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+
+
+class ConvLSTM2D(nn.Module):
+    """Keras-semantics ConvLSTM2D, scan-based, input conv hoisted.
+
+    Input ``[B, T, H, W, C]`` -> output sequence ``[B, T, H', W', filters]``
+    with ``H' = ceil(H / stride)`` ('SAME').
+    """
+
+    filters: int
+    kernel_size: tuple[int, int]
+    strides: tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    unit_forget_bias: bool = True
+    activation: str = "tanh"
+    recurrent_activation: str = "sigmoid"
+    dropout: float = 0.0
+    recurrent_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x_seq: jnp.ndarray, *, training: bool = True) -> jnp.ndarray:
+        b, t, h, w, c = x_seq.shape
+        kh, kw = self.kernel_size
+        f = self.filters
+        act = _act(self.activation)
+        rec_act = _act(self.recurrent_activation)
+
+        kernel = self.param(
+            "kernel", nn.initializers.glorot_uniform(), (kh, kw, c, 4 * f)
+        )
+        rec_kernel = self.param(
+            "recurrent_kernel", nn.initializers.orthogonal(), (kh, kw, f, 4 * f)
+        )
+        if self.use_bias:
+            if self.unit_forget_bias:
+                def bias_init(key, shape, dtype=jnp.float32):
+                    del key
+                    bz = jnp.zeros((f,), dtype)
+                    return jnp.concatenate([bz, jnp.ones((f,), dtype), bz, bz])
+
+                bias = self.param("bias", bias_init, (4 * f,))
+            else:
+                bias = self.param("bias", nn.initializers.zeros, (4 * f,))
+        else:
+            bias = None
+
+        use_in_dropout = training and self.dropout > 0.0
+        use_rec_dropout = training and self.recurrent_dropout > 0.0
+
+        if use_in_dropout:
+            # Keras: 4 independent input-dropout masks (one per gate),
+            # shared across time.  Linearity of conv lets us apply the
+            # masks pre-conv; requires per-gate convs (slow path).
+            rng = self.make_rng("dropout")
+            keys = jax.random.split(rng, 4)
+            masks = [
+                jax.random.bernoulli(k, 1.0 - self.dropout, (b, h, w, c)).astype(
+                    x_seq.dtype
+                )
+                / (1.0 - self.dropout)
+                for k in keys
+            ]
+            xf = x_seq.reshape(b * t, h, w, c)
+            parts = []
+            for g in range(4):
+                kg = kernel[..., g * f : (g + 1) * f]
+                mg = jnp.tile(masks[g], (t, 1, 1, 1))
+                parts.append(_same_conv(xf * mg, kg, self.strides))
+            xconv = jnp.concatenate(parts, axis=-1)
+        else:
+            xconv = _same_conv(x_seq.reshape(b * t, h, w, c), kernel, self.strides)
+
+        if bias is not None:
+            xconv = xconv + bias
+
+        ho, wo = xconv.shape[1], xconv.shape[2]
+        # [B*T, H', W', 4f] -> [T, B, H', W', 4f] for scan
+        xconv = xconv.reshape(b, t, ho, wo, 4 * f).transpose(1, 0, 2, 3, 4)
+
+        if use_rec_dropout:
+            rng = self.make_rng("dropout")
+            keys = jax.random.split(rng, 4)
+            rec_masks = jnp.stack(
+                [
+                    jax.random.bernoulli(
+                        k, 1.0 - self.recurrent_dropout, (b, ho, wo, f)
+                    ).astype(x_seq.dtype)
+                    / (1.0 - self.recurrent_dropout)
+                    for k in keys
+                ]
+            )
+        else:
+            rec_masks = None
+
+        def step(carry, xt):
+            h_prev, c_prev = carry
+            if rec_masks is None:
+                rconv = _same_conv(h_prev, rec_kernel, (1, 1))
+            else:
+                parts = []
+                for g in range(4):
+                    kg = rec_kernel[..., g * f : (g + 1) * f]
+                    parts.append(_same_conv(h_prev * rec_masks[g], kg, (1, 1)))
+                rconv = jnp.concatenate(parts, axis=-1)
+            z = xt + rconv
+            zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
+            i = rec_act(zi)
+            fg = rec_act(zf)
+            cc = fg * c_prev + i * act(zc)
+            o = rec_act(zo)
+            hh = o * act(cc)
+            return (hh, cc), hh
+
+        h0 = jnp.zeros((b, ho, wo, f), dtype=xconv.dtype)
+        c0 = jnp.zeros((b, ho, wo, f), dtype=xconv.dtype)
+        _, out = lax.scan(step, (h0, c0), xconv)
+        return out.transpose(1, 0, 2, 3, 4)
+
+
+class LSTM(nn.Module):
+    """Keras-semantics dense LSTM over ``[B, T, F]`` -> ``[B, T, units]``.
+
+    Input projection hoisted to one ``[B*T, F] @ [F, 4U]`` matmul.
+    Mirrors the discriminator's RNN stack (`gan.py:411-418`).
+    """
+
+    units: int
+    activation: str = "tanh"
+    recurrent_activation: str = "sigmoid"
+    unit_forget_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x_seq: jnp.ndarray, *, training: bool = True) -> jnp.ndarray:
+        b, t, feat = x_seq.shape
+        u = self.units
+        act = _act(self.activation)
+        rec_act = _act(self.recurrent_activation)
+
+        kernel = self.param(
+            "kernel", nn.initializers.glorot_uniform(), (feat, 4 * u)
+        )
+        rec_kernel = self.param(
+            "recurrent_kernel", nn.initializers.orthogonal(), (u, 4 * u)
+        )
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            del key
+            bz = jnp.zeros((u,), dtype)
+            fb = jnp.ones((u,), dtype) if self.unit_forget_bias else bz
+            return jnp.concatenate([bz, fb, bz, bz])
+
+        bias = self.param("bias", bias_init, (4 * u,))
+
+        xproj = (
+            lax.dot_general(
+                x_seq.reshape(b * t, feat),
+                kernel,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bias
+        )
+        xproj = xproj.reshape(b, t, 4 * u).transpose(1, 0, 2)
+
+        def step(carry, xt):
+            h_prev, c_prev = carry
+            z = xt + h_prev @ rec_kernel
+            zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
+            i = rec_act(zi)
+            fg = rec_act(zf)
+            cc = fg * c_prev + i * act(zc)
+            o = rec_act(zo)
+            hh = o * act(cc)
+            return (hh, cc), hh
+
+        h0 = jnp.zeros((b, u), dtype=xproj.dtype)
+        c0 = jnp.zeros((b, u), dtype=xproj.dtype)
+        _, out = lax.scan(step, (h0, c0), xproj)
+        return out.transpose(1, 0, 2)
+
+
+class Conv2D(nn.Module):
+    """TF-'SAME' Conv2D on ``[N, H, W, C]`` (Keras weight layout)."""
+
+    filters: int
+    kernel_size: tuple[int, int]
+    strides: tuple[int, int] = (1, 1)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(),
+            (kh, kw, x.shape[-1], self.filters),
+        )
+        out = _same_conv(x, kernel, self.strides)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.filters,))
+            out = out + bias
+        return out
+
+
+class ConvTranspose2D(nn.Module):
+    """Transposed conv with TF/Keras 'SAME' semantics: ``out = in * stride``.
+
+    Expressed as an input-dilated conv so XLA maps it straight onto the
+    MXU.  Kernel stored in Keras Conv2DTranspose layout
+    ``(kh, kw, filters, in_ch)`` so oracle weights port 1:1.
+    """
+
+    filters: int
+    kernel_size: tuple[int, int]
+    strides: tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    activation: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        sh, sw = self.strides
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(),
+            (kh, kw, self.filters, c_in),
+        )
+        # Gradient-of-conv formulation: flip spatial taps, swap in/out.
+        k = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)
+
+        def pad_for(ksize, stride):
+            # forward-'SAME' total pad for out=in*s is k - s (here k >= s)
+            pad_total = max(ksize - stride, 0)
+            pb = pad_total // 2
+            pa = pad_total - pb
+            return (ksize - 1 - pb, ksize - 1 - pa)
+
+        dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        out = lax.conv_general_dilated(
+            x,
+            k,
+            window_strides=(1, 1),
+            padding=[pad_for(kh, sh), pad_for(kw, sw)],
+            lhs_dilation=(sh, sw),
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.filters,))
+            out = out + bias
+        if self.activation is not None:
+            out = _act(self.activation)(out)
+        return out
