@@ -96,7 +96,14 @@ class ConvLSTM2D(nn.Module):
     recurrent_dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x_seq: jnp.ndarray, *, training: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x_seq: jnp.ndarray,
+        *,
+        training: bool = True,
+        initial_state: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+        return_state: bool = False,
+    ):
         b, t, h, w, c = x_seq.shape
         kh, kw = self.kernel_size
         f = self.filters
@@ -189,10 +196,16 @@ class ConvLSTM2D(nn.Module):
             hh = o * act(cc)
             return (hh, cc), hh
 
-        h0 = jnp.zeros((b, ho, wo, f), dtype=xconv.dtype)
-        c0 = jnp.zeros((b, ho, wo, f), dtype=xconv.dtype)
-        _, out = lax.scan(step, (h0, c0), xconv)
-        return out.transpose(1, 0, 2, 3, 4)
+        if initial_state is None:
+            h0 = jnp.zeros((b, ho, wo, f), dtype=xconv.dtype)
+            c0 = jnp.zeros((b, ho, wo, f), dtype=xconv.dtype)
+        else:
+            h0, c0 = initial_state
+        carry, out = lax.scan(step, (h0, c0), xconv)
+        out = out.transpose(1, 0, 2, 3, 4)
+        if return_state:
+            return out, carry
+        return out
 
 
 class LSTM(nn.Module):

@@ -65,15 +65,34 @@ class VideoEncoder(nn.Module):
     rnn_dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, video: jnp.ndarray, *, training: bool = True) -> list[jnp.ndarray]:
+    def __call__(
+        self,
+        video: jnp.ndarray,
+        *,
+        training: bool = True,
+        carry=None,
+        return_carry: bool = False,
+        slice_time: bool = True,
+    ):
+        """Encode a (sub)sequence.
+
+        ``carry``/``return_carry`` expose the ConvLSTM (h, c) states so
+        autoregressive rollout can extend the encoding one frame at a
+        time in O(T) instead of the reference's O(T^2) full re-encode
+        per generated frame (`kernel_train.py:346-350`).  Incremental
+        encoding is exact: ConvLSTM is causal and Markov in (h, c).
+        ``slice_time=False`` skips the ``[:, Tc-1:]`` pyramid slicing
+        (used by rollout, which encodes single frames).
+        """
         x = jnp.transpose(video, (0, 2, 1, 3, 4))  # -> [B, T, H, W, C]
-        tc = self.int_time_steps
+        tc = self.int_time_steps if slice_time else 1
         f = self.filter_size
         specs = [(f * 4, 6), (f * 8, 6), (f * 16, 5), (f * 32, 5)]
         pyramid = [x[:, tc - 1 :]]
         h = x
+        new_carry = []
         for i, (filters, k) in enumerate(specs):
-            h = ConvLSTM2D(
+            h, state = ConvLSTM2D(
                 filters=filters,
                 kernel_size=(k, k),
                 strides=(2, 2),
@@ -81,10 +100,18 @@ class VideoEncoder(nn.Module):
                 dropout=self.dropout,
                 recurrent_dropout=self.rnn_dropout,
                 name=f"encoder{i + 1}",
-            )(h, training=training)
+            )(
+                h,
+                training=training,
+                initial_state=None if carry is None else carry[i],
+                return_state=True,
+            )
+            new_carry.append(state)
             if self.use_norm:
                 h = nn.LayerNorm(epsilon=_LN_EPS, name=f"norm{i + 1}")(h)
             pyramid.append(h[:, tc - 1 :])
+        if return_carry:
+            return pyramid, tuple(new_carry)
         return pyramid
 
 

@@ -1,0 +1,128 @@
+"""Train state: the four module variable trees, four Adam states, step,
+and RNG key — the complete checkpointable unit.
+
+Fixes the reference's checkpoint defects (optimizer state and step never
+saved; resume crashes — `kernel_train.py:156-165,331-338`, quirk #4).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import TrainConfig
+from ..models import VideoDecoder, VideoDiscriminator, VideoEncoder
+from .schedule import warmup_staircase_exponential_decay
+
+__all__ = ["GanModules", "TrainState", "create_train_state", "make_optimizers"]
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray  # scalar int32
+    rng: jax.Array
+    enc_params: Any
+    dec_params: Any
+    h_params: Any
+    m_params: Any
+    h_stats: Any  # BatchNorm running stats (empty dict when bn off)
+    m_stats: Any
+    enc_opt: Any
+    dec_opt: Any
+    h_opt: Any
+    m_opt: Any
+
+
+class GanModules:
+    """Constructs the four flax modules from config (shapes mirror
+    `kernel_train.py:141-154`)."""
+
+    def __init__(self, cfg: TrainConfig):
+        m = cfg.model
+        self.cfg = cfg
+        self.encoder = VideoEncoder(
+            int_time_steps=cfg.int_time_steps,
+            filter_size=m.g_filter_size,
+            use_norm=m.use_norm,
+            dropout=m.dropout,
+            rnn_dropout=m.rnn_dropout,
+        )
+        self.decoder = VideoDecoder(
+            x_height=m.x_height,
+            x_width=m.x_width,
+            nchannel=m.n_channels,
+            filter_size=m.g_filter_size,
+            use_norm=m.use_norm,
+            dropout=m.dropout,
+            rnn_dropout=m.rnn_dropout,
+            output_activation=m.output_activation,
+        )
+        disc_kwargs = dict(
+            state_size=m.d_state_size,
+            filter_size=m.d_filter_size,
+            use_batch_norm=m.use_norm,
+        )
+        self.disc_h = VideoDiscriminator(**disc_kwargs)
+        self.disc_m = VideoDiscriminator(**disc_kwargs)
+
+    def z_shape(self, batch_size: int, time_steps: int) -> tuple:
+        m = self.cfg.model
+        return (batch_size, time_steps, m.z_height, m.z_width, m.z_channels)
+
+
+def make_optimizers(cfg: TrainConfig):
+    """Four Adam optimizers (Keras defaults: eps 1e-7) on the warmup +
+    staircase-decay schedule; offsets reproduce the reference's
+    double-apply cadence when ``keras_double_step_quirk``."""
+
+    def adam(offset: int) -> optax.GradientTransformation:
+        sched = warmup_staircase_exponential_decay(
+            cfg.lr,
+            cfg.warmup_steps,
+            cfg.decay_steps,
+            cfg.decay_rate,
+            double_step=cfg.keras_double_step_quirk,
+            offset=offset,
+        )
+        return optax.adam(sched, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps)
+
+    # First apply in each Keras-optimizer pair gets offset 0, second 1:
+    # disc: h then m (`kernel_train.py:254-255`); gen: enc then dec (:290-291).
+    return dict(enc=adam(0), dec=adam(1), h=adam(0), m=adam(1))
+
+
+def create_train_state(cfg: TrainConfig, rng: jax.Array) -> TrainState:
+    mods = GanModules(cfg)
+    m = cfg.model
+    b, t = cfg.batch_size, cfg.total_time_steps
+    dummy_video = jnp.zeros((b, m.x_height, t, m.x_width, m.n_channels), jnp.float32)
+    k_enc, k_dec, k_h, k_m, k_state = jax.random.split(rng, 5)
+
+    enc_vars = mods.encoder.init(k_enc, dummy_video, training=False)
+    pyramid = mods.encoder.apply(enc_vars, dummy_video, training=True)
+    z = jnp.zeros(mods.z_shape(b, cfg.pred_time_steps), jnp.float32)
+    dec_vars = mods.decoder.init(k_dec, pyramid, z, training=True)
+    h_vars = mods.disc_h.init(k_h, dummy_video, training=False)
+    m_vars = mods.disc_m.init(k_m, dummy_video, training=False)
+
+    opts = make_optimizers(cfg)
+    enc_p, dec_p = enc_vars["params"], dec_vars["params"]
+    h_p, m_p = h_vars["params"], m_vars["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        rng=k_state,
+        enc_params=enc_p,
+        dec_params=dec_p,
+        h_params=h_p,
+        m_params=m_p,
+        h_stats=h_vars.get("batch_stats", {}),
+        m_stats=m_vars.get("batch_stats", {}),
+        enc_opt=opts["enc"].init(enc_p),
+        dec_opt=opts["dec"].init(dec_p),
+        h_opt=opts["h"].init(h_p),
+        m_opt=opts["m"].init(m_p),
+    )

@@ -1,0 +1,187 @@
+"""Jitted GAN training step: discriminator phase then generator phase.
+
+Re-derivation of `/root/reference/kernel_train.py:219-292` as ONE
+compiled XLA program per iteration (the reference runs eager TF with
+both ``@tf.function`` decorators commented out — `kernel_train.py:218,
+258`).  Faithful semantics:
+
+* disc phase: fresh z, full generator forward (teacher forcing),
+  optional kernel smoothing of real+fake, both discriminators on both,
+  mixed Sinkhorn loss, martingale penalty on ``m_real`` only;
+  ``disc_loss = -sinkhorn + pM``; h and m updated by Adam with the
+  double-apply schedule cadence (quirk ledger #8).
+* gen phase: NEW z, full forward against the *updated* discriminators;
+  ``gen_loss = sinkhorn``; encoder+decoder updated.
+* Each phase re-runs the forward (quirk ledger #9) — 6 Sinkhorn solves
+  per iteration, exactly like the reference.
+
+TPU-first details: the whole two-phase step jits into a single XLA
+program; state buffers are donated; smoothing/solver/cost choices are
+static config.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import TrainConfig
+from ..ot import compute_sinkhorn_loss, martingale_regularization
+from ..smoothing import annealing_sigma, apply_smoothing
+from .state import GanModules, TrainState, make_optimizers
+
+__all__ = ["build_train_step", "gan_forward"]
+
+
+def gan_forward(
+    mods: GanModules,
+    cfg: TrainConfig,
+    enc_params,
+    dec_params,
+    h_params,
+    m_params,
+    h_stats,
+    m_stats,
+    real_data: jnp.ndarray,
+    z: jnp.ndarray,
+    sigma,
+):
+    """One full forward pass: encode, decode (teacher forcing), smooth,
+    discriminate, mixed Sinkhorn + pM.  Returns (loss, pm, new_stats)."""
+    tc = cfg.int_time_steps
+    real_in = real_data[:, :, :tc]
+
+    pyramid = mods.encoder.apply(
+        {"params": enc_params}, real_data, training=True
+    )
+    fake_pred = mods.decoder.apply(
+        {"params": dec_params}, pyramid, z, training=True
+    )
+    fake = jnp.concatenate([real_in, fake_pred], axis=2)
+
+    real_s = apply_smoothing(
+        real_data, sigma, cfg.kernel,
+        temporal_kernel=cfg.temporal_kernel_size,
+        spatial_kernel=cfg.spatial_kernel_size,
+    )
+    fake_s = apply_smoothing(
+        fake, sigma, cfg.kernel,
+        temporal_kernel=cfg.temporal_kernel_size,
+        spatial_kernel=cfg.spatial_kernel_size,
+    )
+
+    def disc_apply(module, params, stats, x):
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        out, updates = module.apply(
+            variables, x, training=True, mutable=["batch_stats"]
+        )
+        return out, updates.get("batch_stats", stats)
+
+    # Call order mirrors `kernel_train.py:241-245`: h(fake), h(real),
+    # then m(real), m(fake) — running BN stats chain through each call.
+    h_fake, h_stats = disc_apply(mods.disc_h, h_params, h_stats, fake_s)
+    h_real, h_stats = disc_apply(mods.disc_h, h_params, h_stats, real_s)
+    m_real, m_stats = disc_apply(mods.disc_m, m_params, m_stats, real_s)
+    m_fake, m_stats = disc_apply(mods.disc_m, m_params, m_stats, fake_s)
+
+    scaling = cfg.effective_scaling
+    loss = compute_sinkhorn_loss(
+        real_s, fake_s, scaling, h_fake, m_real, h_real, m_fake,
+        video=True,
+        epsilon=cfg.sinkhorn_eps,
+        num_iters=cfg.sinkhorn_l,
+        cost_method=cfg.cost_method,
+        solver=cfg.sinkhorn_solver,
+    )
+    pm = martingale_regularization(m_real, cfg.reg_penalty, scaling)
+    return loss, pm, h_stats, m_stats
+
+
+def build_train_step(
+    cfg: TrainConfig, mods: GanModules, *, jit: bool = True, donate: bool | None = None
+) -> Callable[[TrainState, jnp.ndarray], tuple[TrainState, dict[str, jnp.ndarray]]]:
+    """Returns ``train_step(state, real_data) -> (state, metrics)``.
+
+    ``real_data`` is the film-strip batch ``[B, H, T, W, C]`` (context +
+    future along axis 2).
+    """
+    opts = make_optimizers(cfg)
+    z_time = cfg.pred_time_steps
+
+    def train_step(state: TrainState, real_data: jnp.ndarray):
+        rng, k_disc, k_gen = jax.random.split(state.rng, 3)
+        z_shape = mods.z_shape(real_data.shape[0], z_time)
+
+        if cfg.decaying_sigma:
+            # step is 1-based in the reference loop (`kernel_train.py:300`)
+            sigma = annealing_sigma(cfg.init_sigma, state.step + 1)
+        else:
+            sigma = jnp.asarray(cfg.init_sigma, jnp.float32)
+
+        # ---------------- discriminator phase -----------------
+        z1 = jax.random.normal(k_disc, z_shape, jnp.float32)
+
+        def disc_loss_fn(h_params, m_params):
+            loss, pm, h_stats, m_stats = gan_forward(
+                mods, cfg, state.enc_params, state.dec_params,
+                h_params, m_params, state.h_stats, state.m_stats,
+                real_data, z1, sigma,
+            )
+            return -loss + pm, (loss, pm, h_stats, m_stats)
+
+        (_, (_, pm, h_stats, m_stats)), (gh, gm) = jax.value_and_grad(
+            disc_loss_fn, argnums=(0, 1), has_aux=True
+        )(state.h_params, state.m_params)
+
+        h_updates, h_opt = opts["h"].update(gh, state.h_opt, state.h_params)
+        h_params = optax.apply_updates(state.h_params, h_updates)
+        m_updates, m_opt = opts["m"].update(gm, state.m_opt, state.m_params)
+        m_params = optax.apply_updates(state.m_params, m_updates)
+
+        # ---------------- generator phase -----------------
+        z2 = jax.random.normal(k_gen, z_shape, jnp.float32)
+
+        def gen_loss_fn(enc_params, dec_params):
+            loss, _, hs, ms = gan_forward(
+                mods, cfg, enc_params, dec_params,
+                h_params, m_params, h_stats, m_stats,
+                real_data, z2, sigma,
+            )
+            return loss, (hs, ms)
+
+        (gen_loss, (h_stats, m_stats)), (ge, gd) = jax.value_and_grad(
+            gen_loss_fn, argnums=(0, 1), has_aux=True
+        )(state.enc_params, state.dec_params)
+
+        enc_updates, enc_opt = opts["enc"].update(ge, state.enc_opt, state.enc_params)
+        enc_params = optax.apply_updates(state.enc_params, enc_updates)
+        dec_updates, dec_opt = opts["dec"].update(gd, state.dec_opt, state.dec_params)
+        dec_params = optax.apply_updates(state.dec_params, dec_updates)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            rng=rng,
+            enc_params=enc_params,
+            dec_params=dec_params,
+            h_params=h_params,
+            m_params=m_params,
+            h_stats=h_stats,
+            m_stats=m_stats,
+            enc_opt=enc_opt,
+            dec_opt=dec_opt,
+            h_opt=h_opt,
+            m_opt=m_opt,
+        )
+        metrics = {"sinkhorn_loss": gen_loss, "pm": pm, "sigma": sigma}
+        return new_state, metrics
+
+    if jit:
+        donate = cfg.donate_buffers if donate is None else donate
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
