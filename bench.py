@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness: KCCOT-GAN training throughput on real TPU.
+
+Measures full training steps (disc + gen phase, 6x L Sinkhorn solves,
+all four Adam updates) on the flagship MMNIST-64 configuration and
+prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline: the north-star target is >=5x a V100 running the reference
+eager-TF2 implementation (BASELINE.json; the reference publishes no
+numbers).  We use a documented estimate of the reference's V100
+throughput: the reference runs B=2 eager with 600 un-fused Sinkhorn
+iterations + 4 un-jitted ConvLSTM model passes per step; public
+V100 numbers for comparable eager ConvLSTM video-GAN steps put it at
+~1-2 s/step => ~15-30 frames/sec.  We take the GENEROUS end (30
+frames/sec) so vs_baseline is conservative.  vs_baseline = value / 30.
+
+Usage: python bench.py [--steps N] [--batch B] [--no-cache]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REF_V100_FRAMES_PER_SEC = 30.0  # generous estimate, see module docstring
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--time-steps", type=int, default=20)
+    p.add_argument("--context", type=int, default=10)
+    p.add_argument("--no-cache", action="store_true")
+    args = p.parse_args()
+
+    if not args.no_cache:
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    import jax
+
+    if not args.no_cache:
+        jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from kccotgan_tpu.config import ModelConfig, TrainConfig
+    from kccotgan_tpu.data import bouncing_blobs
+    from kccotgan_tpu.train import GanModules, build_train_step, create_train_state
+
+    cfg = TrainConfig(
+        dname="mmnist",
+        batch_size=args.batch,
+        total_time_steps=args.time_steps,
+        int_time_steps=args.context,
+        sinkhorn_l=100,
+        model=ModelConfig(x_height=64, x_width=64, n_channels=1),
+    )
+    print(
+        f"# bench: device={jax.devices()[0]} batch={args.batch} "
+        f"T={args.time_steps} (ctx {args.context}) L={cfg.sinkhorn_l}",
+        file=sys.stderr,
+    )
+
+    mods = GanModules(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn = build_train_step(cfg, mods)
+    batch = jnp.array(
+        bouncing_blobs(args.batch, args.time_steps, 64, 64, seed=0)
+    )
+
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["sinkhorn_loss"])
+    compile_s = time.perf_counter() - t0
+    print(f"# first step (compile+run): {compile_s:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["sinkhorn_loss"])
+    dt = (time.perf_counter() - t0) / args.steps
+
+    frames_per_sec = args.batch * args.time_steps / dt
+    sinkhorn_iters_per_sec = 6 * cfg.sinkhorn_l / dt
+    loss = float(metrics["sinkhorn_loss"])
+    print(
+        f"# steady state: {dt*1e3:.1f} ms/step, "
+        f"{frames_per_sec:.0f} frames/sec/chip, "
+        f"{sinkhorn_iters_per_sec:.0f} sinkhorn iters/sec, loss={loss:.4f}",
+        file=sys.stderr,
+    )
+    if not (loss == loss):  # NaN guard: a broken step must not "win" the bench
+        print(json.dumps({"metric": "error", "value": 0, "unit": "nan-loss", "vs_baseline": 0}))
+        return 1
+
+    print(
+        json.dumps(
+            {
+                "metric": "training frames/sec/chip (MMNIST 64x64, B=%d, T=%d, full step)"
+                % (args.batch, args.time_steps),
+                "value": round(frames_per_sec, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(frames_per_sec / REF_V100_FRAMES_PER_SEC, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

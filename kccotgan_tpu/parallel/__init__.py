@@ -1,0 +1,14 @@
+"""Mesh + data-parallel training (GSPMD exact mode / shard_map local mode)."""
+
+from .mesh import DATA_AXIS, batch_sharding, make_mesh, replicated_sharding
+from .sharding import build_sharded_train_step, replicate_state, shard_batch
+
+__all__ = [
+    "DATA_AXIS",
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "build_sharded_train_step",
+    "replicate_state",
+    "shard_batch",
+]

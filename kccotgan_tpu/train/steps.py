@@ -104,18 +104,39 @@ def gan_forward(
 
 
 def build_train_step(
-    cfg: TrainConfig, mods: GanModules, *, jit: bool = True, donate: bool | None = None
+    cfg: TrainConfig,
+    mods: GanModules,
+    *,
+    jit: bool = True,
+    donate: bool | None = None,
+    axis_name: str | None = None,
 ) -> Callable[[TrainState, jnp.ndarray], tuple[TrainState, dict[str, jnp.ndarray]]]:
     """Returns ``train_step(state, real_data) -> (state, metrics)``.
 
     ``real_data`` is the film-strip batch ``[B, H, T, W, C]`` (context +
     future along axis 2).
+
+    ``axis_name`` enables the per-shard data-parallel mode (used under
+    ``shard_map``): the batch is a local shard, the Sinkhorn divergence
+    and pM are computed per device and gradients/metrics/BN-stats are
+    ``pmean``-reduced over the mesh axis.  This changes the objective's
+    semantics (mean of per-shard divergences instead of the global-batch
+    divergence) — the exact global mode goes through GSPMD instead (see
+    ``parallel.build_sharded_train_step``).
     """
     opts = make_optimizers(cfg)
     z_time = cfg.pred_time_steps
 
+    def pmean(x):
+        return jax.lax.pmean(x, axis_name) if axis_name is not None else x
+
     def train_step(state: TrainState, real_data: jnp.ndarray):
         rng, k_disc, k_gen = jax.random.split(state.rng, 3)
+        if axis_name is not None:
+            # independent z per device shard
+            idx = jax.lax.axis_index(axis_name)
+            k_disc = jax.random.fold_in(k_disc, idx)
+            k_gen = jax.random.fold_in(k_gen, idx)
         z_shape = mods.z_shape(real_data.shape[0], z_time)
 
         if cfg.decaying_sigma:
@@ -138,6 +159,8 @@ def build_train_step(
         (_, (_, pm, h_stats, m_stats)), (gh, gm) = jax.value_and_grad(
             disc_loss_fn, argnums=(0, 1), has_aux=True
         )(state.h_params, state.m_params)
+        gh, gm, pm = pmean(gh), pmean(gm), pmean(pm)
+        h_stats, m_stats = pmean(h_stats), pmean(m_stats)
 
         h_updates, h_opt = opts["h"].update(gh, state.h_opt, state.h_params)
         h_params = optax.apply_updates(state.h_params, h_updates)
@@ -158,6 +181,8 @@ def build_train_step(
         (gen_loss, (h_stats, m_stats)), (ge, gd) = jax.value_and_grad(
             gen_loss_fn, argnums=(0, 1), has_aux=True
         )(state.enc_params, state.dec_params)
+        ge, gd, gen_loss = pmean(ge), pmean(gd), pmean(gen_loss)
+        h_stats, m_stats = pmean(h_stats), pmean(m_stats)
 
         enc_updates, enc_opt = opts["enc"].update(ge, state.enc_opt, state.enc_params)
         enc_params = optax.apply_updates(state.enc_params, enc_updates)
