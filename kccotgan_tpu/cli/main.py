@@ -1,0 +1,180 @@
+"""Command-line entry point.
+
+Mirrors the reference's flag surface (`kernel_train.py:361-413`) with
+its defects fixed (quirk ledger #1/#5/#6): booleans are real
+``store_true``/``store_false`` flags, ``--sinkhorn_eps``/``--sinkhorn_l``
+actually reach the loss (defaults = the reference's *effective* values
+eps=1.0, L=100), and eval z_channels follows ``--z_channels``.
+
+Usage:
+  python -m kccotgan_tpu.cli.main --dname synthetic --max_steps 10
+  python -m kccotgan_tpu.cli.main --preset mmnist_full --data_path /data
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from ..config import ModelConfig, PRESETS, TrainConfig, get_preset
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="kccotgan_tpu trainer")
+    p.add_argument("--preset", type=str, default=None, choices=sorted(PRESETS))
+    p.add_argument("-d", "--dname", type=str, default="mmnist",
+                   choices=["synthetic", "mmnist", "mazes", "robot_push", "kth",
+                            "penn_action", "animation", "human_action", "ucf"])
+    p.add_argument("-s", "--seed", type=int, default=1)
+    p.add_argument("-gss", "--g_state_size", type=int, default=8)
+    p.add_argument("-gfs", "--g_filter_size", type=int, default=8)
+    p.add_argument("-dss", "--d_state_size", type=int, default=8)
+    p.add_argument("-dfs", "--d_filter_size", type=int, default=8)
+    p.add_argument("-tts", "--total_time_steps", type=int, default=15)
+    p.add_argument("-its", "--int_time_steps", type=int, default=5)
+    p.add_argument("-nch", "--n_channels", type=int, default=1)
+    p.add_argument("-nz", "--z_channels", type=int, default=128)
+    # Real knobs (reference-effective defaults, quirk #1):
+    p.add_argument("-sinke", "--sinkhorn_eps", type=float, default=1.0)
+    p.add_argument("-sinkl", "--sinkhorn_l", type=int, default=100)
+    p.add_argument("-reg_p", "--reg_penalty", type=float, default=1.0)
+    p.add_argument("-bs", "--batch_size", type=int, default=2)
+    p.add_argument("-p", "--data_path", type=str, default="../data")
+    p.add_argument("-save", "--save_freq", type=int, default=10)
+    p.add_argument("--ckpt_freq", type=int, default=10000)
+    p.add_argument("-lr", "--lr", type=float, default=5e-4)
+    p.add_argument("-bn", "--batch_norm", action="store_true", default=True)
+    p.add_argument("--no_batch_norm", dest="batch_norm", action="store_false")
+    p.add_argument("-dp", "--dropout", type=float, default=0.0)
+    p.add_argument("-rdp", "--rnn_dropout", type=float, default=0.0)
+    p.add_argument("-sc", "--scaling_coef", type=float, default=15.0,
+                   help="effective multiplier is 1/value (`kernel_train.py:71`)")
+    p.add_argument("-k", "--kernel", type=str, default="none",
+                   choices=["1d", "2d", "3d", "none"])
+    p.add_argument("-xh", "--height", type=int, default=64)
+    p.add_argument("-xw", "--width", type=int, default=64)
+    p.add_argument("-ne", "--n_epochs", type=int, default=100)
+    p.add_argument("-wu", "--warmup", type=int, default=10000)
+    p.add_argument("-isig", "--init_sigma", type=float, default=5.0)
+    p.add_argument("-desig", "--decaying_sigma", action="store_true")
+    p.add_argument("-ckpt", "--checkpoint", action="store_true",
+                   help="resume from --ckpt_path")
+    p.add_argument("-cn", "--ckpt_path", type=str, default="")
+    p.add_argument("--out_dir", type=str, default="trained")
+    p.add_argument("--run_name", type=str, default="")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--num_devices", type=int, default=1)
+    p.add_argument("--local_sinkhorn", action="store_true",
+                   help="per-device Sinkhorn (approx) instead of exact global batch")
+    p.add_argument("--cost_method", type=str, default="gram",
+                   choices=["gram", "exact"])
+    p.add_argument("--solver", type=str, default="scan",
+                   choices=["scan", "pallas"])
+    p.add_argument("--compile_cache", type=str, default=".jax_cache")
+    # accepted-for-parity, validated (vestigial in the reference):
+    p.add_argument("-epd", "--enc_period", type=str, default="1,1,1,1")
+    p.add_argument("-dpd", "--dec_period", type=str, default="1,1,1,1")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> TrainConfig:
+    if args.preset:
+        base = get_preset(args.preset)
+        # CLI data_path/out_dir still apply on top of presets
+        import dataclasses
+
+        return dataclasses.replace(
+            base, data_path=args.data_path, out_dir=args.out_dir,
+            run_name=args.run_name, seed=args.seed,
+        )
+    dec_period = [int(x) for x in args.dec_period.split(",")]
+    if dec_period[-1] != 1:
+        # The reference divides the z time length by dec_period[-1]
+        # (`kernel_train.py:220`) which crashes its decoder for any
+        # value != 1 (teacher forcing needs T_z == pred steps).
+        raise SystemExit(
+            "dec_period[-1] != 1 is unsupported (crashes the reference too)"
+        )
+    model = ModelConfig(
+        x_height=args.height,
+        x_width=args.width,
+        n_channels=args.n_channels,
+        g_state_size=args.g_state_size,
+        d_state_size=args.d_state_size,
+        g_filter_size=args.g_filter_size,
+        d_filter_size=args.d_filter_size,
+        z_channels=args.z_channels,
+        z_height=max(args.height // 16, 1),
+        z_width=max(args.width // 16, 1),
+        use_norm=args.batch_norm,
+        dropout=args.dropout,
+        rnn_dropout=args.rnn_dropout,
+    )
+    return TrainConfig(
+        dname=args.dname,
+        data_path=args.data_path,
+        batch_size=args.batch_size,
+        total_time_steps=args.total_time_steps,
+        int_time_steps=args.int_time_steps,
+        n_epochs=args.n_epochs,
+        model=model,
+        sinkhorn_eps=args.sinkhorn_eps,
+        sinkhorn_l=args.sinkhorn_l,
+        scaling_coef=args.scaling_coef,
+        reg_penalty=args.reg_penalty,
+        cost_method=args.cost_method,
+        sinkhorn_solver=args.solver,
+        kernel=args.kernel,
+        init_sigma=args.init_sigma,
+        decaying_sigma=args.decaying_sigma,
+        lr=args.lr,
+        warmup_steps=args.warmup,
+        num_devices=args.num_devices,
+        global_batch_sinkhorn=not args.local_sinkhorn,
+        seed=args.seed,
+        save_freq=args.save_freq,
+        ckpt_freq=args.ckpt_freq,
+        out_dir=args.out_dir,
+        run_name=args.run_name,
+        checkpoint=args.checkpoint,
+        ckpt_path=args.ckpt_path,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.compile_cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    cfg = config_from_args(args)
+
+    from ..data import make_dataset
+    from ..train import Trainer
+
+    mesh = None
+    data_sharding = None
+    if cfg.num_devices > 1:
+        from ..parallel import batch_sharding, make_mesh
+
+        mesh = make_mesh(cfg.num_devices)
+        data_sharding = batch_sharding(mesh)
+
+    batches, test_batch = make_dataset(cfg)
+    trainer = Trainer(cfg, mesh=mesh)
+    state, summary = trainer.fit(
+        batches,
+        max_steps=args.max_steps,
+        test_batch=test_batch,
+        data_sharding=data_sharding,
+    )
+    print(json.dumps(summary))
+    return 0 if summary["status"] == "completed" else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

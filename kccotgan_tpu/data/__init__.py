@@ -1,10 +1,20 @@
-"""Host-side data pipelines and fixtures."""
+"""Host-side data pipelines, TFRecord/proto IO, and fixtures."""
 
+from .datasets import make_dataset
 from .mmnist import load_mmnist, mmnist_paths
 from .pipeline import ArrayDataset, GeneratorDataset, device_prefetch
 from .synthetic import bouncing_blobs, write_mmnist_fixture
+from .tfrecord import (
+    encode_example,
+    encode_sequence_example,
+    iter_tfrecord,
+    parse_example,
+    parse_sequence_example,
+    write_tfrecord,
+)
 
 __all__ = [
+    "make_dataset",
     "load_mmnist",
     "mmnist_paths",
     "ArrayDataset",
@@ -12,4 +22,10 @@ __all__ = [
     "device_prefetch",
     "bouncing_blobs",
     "write_mmnist_fixture",
+    "iter_tfrecord",
+    "parse_example",
+    "parse_sequence_example",
+    "encode_example",
+    "encode_sequence_example",
+    "write_tfrecord",
 ]
