@@ -72,21 +72,25 @@ def main() -> int:
         bouncing_blobs(args.batch, args.time_steps, 64, 64, seed=0)
     )
 
+    # NOTE: under the axon remote-TPU runtime, block_until_ready can
+    # return before the program actually retires; only a data readback
+    # (device_get / float()) is a true sync.  All timed regions below
+    # end with a scalar readback that depends on the final step.
     t0 = time.perf_counter()
     state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics["sinkhorn_loss"])
+    float(metrics["sinkhorn_loss"])
     compile_s = time.perf_counter() - t0
     print(f"# first step (compile+run): {compile_s:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics["sinkhorn_loss"])
+    loss_sync = float(metrics["sinkhorn_loss"])
     dt = (time.perf_counter() - t0) / args.steps
 
     frames_per_sec = args.batch * args.time_steps / dt
     sinkhorn_iters_per_sec = 6 * cfg.sinkhorn_l / dt
-    loss = float(metrics["sinkhorn_loss"])
+    loss = loss_sync
     print(
         f"# steady state: {dt*1e3:.1f} ms/step, "
         f"{frames_per_sec:.0f} frames/sec/chip, "
