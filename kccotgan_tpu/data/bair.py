@@ -14,7 +14,7 @@ from typing import Iterator
 
 import numpy as np
 
-from .tfrecord import iter_tfrecord, parse_sequence_example
+from .io import iter_tfrecord, parse_sequence_example
 
 __all__ = ["robot_push_samples"]
 

@@ -16,7 +16,7 @@ from typing import Iterator
 
 import numpy as np
 
-from .tfrecord import iter_tfrecord, parse_example
+from .io import iter_tfrecord, parse_example
 
 __all__ = ["flat_feature_samples"]
 

@@ -22,7 +22,7 @@ from typing import Iterator
 
 import numpy as np
 
-from .tfrecord import iter_tfrecord, parse_example
+from .io import iter_tfrecord, parse_example
 
 __all__ = ["GQN_DATASETS", "GqnDatasetInfo", "gqn_record_files", "GqnReader"]
 

@@ -97,6 +97,11 @@ def iter_tfrecord(path: str, *, verify_crc: bool = False) -> Iterator[bytes]:
 # ------------------------------------------------------------ proto parsing
 
 
+def _to_signed64(x: int) -> int:
+    """int64 fields arrive as unsigned varints; recover the sign."""
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     result = 0
     shift = 0
@@ -160,9 +165,9 @@ def _parse_feature(buf: bytes):
                     pos = 0
                     while pos < len(v):
                         x, pos = _read_varint(v, pos)
-                        ints.append(x)
+                        ints.append(_to_signed64(x))
                 else:
-                    ints.append(v)
+                    ints.append(_to_signed64(v))
             return ints
     return []
 
@@ -225,6 +230,8 @@ def parse_sequence_example(record: bytes) -> tuple[dict, dict]:
 
 
 def _varint(x: int) -> bytes:
+    # negative int64s encode as 10-byte two's-complement varints
+    x &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = x & 0x7F
