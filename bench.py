@@ -35,6 +35,15 @@ def main() -> int:
     p.add_argument("--time-steps", type=int, default=20)
     p.add_argument("--context", type=int, default=10)
     p.add_argument("--no-cache", action="store_true")
+    p.add_argument(
+        "--solver", default="scan", choices=["scan", "pallas"],
+        help="Sinkhorn solver for the training step",
+    )
+    p.add_argument(
+        "--dtype", default="float32", choices=["float32", "bfloat16"],
+        help="MXU compute precision for model convs/matmuls "
+             "(params + Sinkhorn stay f32)",
+    )
     args = p.parse_args()
 
     if not args.no_cache:
@@ -57,6 +66,8 @@ def main() -> int:
         total_time_steps=args.time_steps,
         int_time_steps=args.context,
         sinkhorn_l=100,
+        sinkhorn_solver=args.solver,
+        compute_dtype=args.dtype,
         model=ModelConfig(x_height=64, x_width=64, n_channels=1),
     )
     print(

@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--solver", type=str, default="scan",
                    choices=["scan", "pallas"])
     p.add_argument("--compile_cache", type=str, default=".jax_cache")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="MXU input precision for model convs/matmuls")
+    p.add_argument("--profile_steps", type=str, default="",
+                   help="'start,stop' step window to capture an XLA trace "
+                        "into <run_dir>/profile (e.g. '5,8')")
     # accepted-for-parity, validated (vestigial in the reference):
     p.add_argument("-epd", "--enc_period", type=str, default="1,1,1,1")
     p.add_argument("-dpd", "--dec_period", type=str, default="1,1,1,1")
@@ -125,6 +131,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         reg_penalty=args.reg_penalty,
         cost_method=args.cost_method,
         sinkhorn_solver=args.solver,
+        compute_dtype=args.compute_dtype,
         kernel=args.kernel,
         init_sigma=args.init_sigma,
         decaying_sigma=args.decaying_sigma,
@@ -166,11 +173,16 @@ def main(argv: list[str] | None = None) -> int:
 
     batches, test_batch = make_dataset(cfg)
     trainer = Trainer(cfg, mesh=mesh)
+    profile_steps = None
+    if args.profile_steps:
+        a, b = args.profile_steps.split(",")
+        profile_steps = (int(a), int(b))
     state, summary = trainer.fit(
         batches,
         max_steps=args.max_steps,
         test_batch=test_batch,
         data_sharding=data_sharding,
+        profile_steps=profile_steps,
     )
     print(json.dumps(summary))
     return 0 if summary["status"] == "completed" else 1

@@ -92,6 +92,11 @@ class TrainConfig:
     # precision
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' (convs only)
 
+    # recurrence compilation
+    scan_remat: bool = True  # checkpoint scan bodies (residual HBM traffic
+    #   dominates the step; recompute of the gate math is cheaper)
+    scan_unroll: int = 1     # lax.scan unroll factor for ConvLSTM/LSTM
+
     # bookkeeping
     seed: int = 1
     save_freq: int = 10

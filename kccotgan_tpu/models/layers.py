@@ -69,13 +69,30 @@ def _act(name: str | Callable) -> Callable:
     return _ACTIVATIONS[name]
 
 
-def _same_conv(x, kernel, strides):
-    """NHWC 'SAME' conv (TF semantics)."""
+def _compute_dtype(name: str):
+    if name == "bfloat16":
+        return jnp.bfloat16
+    if name == "float32":
+        return jnp.float32
+    raise ValueError(f"unsupported compute_dtype: {name!r}")
+
+
+def _same_conv(x, kernel, strides, dtype=jnp.float32):
+    """NHWC 'SAME' conv (TF semantics).
+
+    ``dtype`` is the MXU input precision: bfloat16 halves HBM traffic and
+    doubles systolic-array throughput (params and all gate/norm math
+    remain f32 — the output is cast back immediately).
+    """
     dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
-    return lax.conv_general_dilated(
-        x, kernel, strides, "SAME", dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+    out = lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), strides, "SAME",
+        dimension_numbers=dn,
     )
+    # Gate/norm math downstream stays f32.  (No preferred_element_type:
+    # its conv transpose rule rejects mixed f32-cotangent/bf16-operand;
+    # the TPU MXU accumulates in f32 internally either way.)
+    return out.astype(jnp.float32)
 
 
 class ConvLSTM2D(nn.Module):
@@ -94,6 +111,9 @@ class ConvLSTM2D(nn.Module):
     recurrent_activation: str = "sigmoid"
     dropout: float = 0.0
     recurrent_dropout: float = 0.0
+    compute_dtype: str = "float32"
+    remat: bool = False      # checkpoint the scan body: save only (h, c)
+    unroll: int = 1          # lax.scan unroll factor
 
     @nn.compact
     def __call__(
@@ -109,6 +129,7 @@ class ConvLSTM2D(nn.Module):
         f = self.filters
         act = _act(self.activation)
         rec_act = _act(self.recurrent_activation)
+        cdt = _compute_dtype(self.compute_dtype)
 
         kernel = self.param(
             "kernel", nn.initializers.glorot_uniform(), (kh, kw, c, 4 * f)
@@ -150,10 +171,10 @@ class ConvLSTM2D(nn.Module):
             for g in range(4):
                 kg = kernel[..., g * f : (g + 1) * f]
                 mg = jnp.tile(masks[g], (t, 1, 1, 1))
-                parts.append(_same_conv(xf * mg, kg, self.strides))
+                parts.append(_same_conv(xf * mg, kg, self.strides, cdt))
             xconv = jnp.concatenate(parts, axis=-1)
         else:
-            xconv = _same_conv(x_seq.reshape(b * t, h, w, c), kernel, self.strides)
+            xconv = _same_conv(x_seq.reshape(b * t, h, w, c), kernel, self.strides, cdt)
 
         if bias is not None:
             xconv = xconv + bias
@@ -180,12 +201,12 @@ class ConvLSTM2D(nn.Module):
         def step(carry, xt):
             h_prev, c_prev = carry
             if rec_masks is None:
-                rconv = _same_conv(h_prev, rec_kernel, (1, 1))
+                rconv = _same_conv(h_prev, rec_kernel, (1, 1), cdt)
             else:
                 parts = []
                 for g in range(4):
                     kg = rec_kernel[..., g * f : (g + 1) * f]
-                    parts.append(_same_conv(h_prev * rec_masks[g], kg, (1, 1)))
+                    parts.append(_same_conv(h_prev * rec_masks[g], kg, (1, 1), cdt))
                 rconv = jnp.concatenate(parts, axis=-1)
             z = xt + rconv
             zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
@@ -196,12 +217,18 @@ class ConvLSTM2D(nn.Module):
             hh = o * act(cc)
             return (hh, cc), hh
 
+        if self.remat:
+            # The scan's saved residuals ([T, B, H', W', ~10f] activation
+            # stacks) dominate HBM traffic; checkpointing trades them for
+            # a cheap recompute of the gate math in the backward pass.
+            step = jax.checkpoint(step, prevent_cse=False)
+
         if initial_state is None:
             h0 = jnp.zeros((b, ho, wo, f), dtype=xconv.dtype)
             c0 = jnp.zeros((b, ho, wo, f), dtype=xconv.dtype)
         else:
             h0, c0 = initial_state
-        carry, out = lax.scan(step, (h0, c0), xconv)
+        carry, out = lax.scan(step, (h0, c0), xconv, unroll=self.unroll)
         out = out.transpose(1, 0, 2, 3, 4)
         if return_state:
             return out, carry
@@ -219,6 +246,9 @@ class LSTM(nn.Module):
     activation: str = "tanh"
     recurrent_activation: str = "sigmoid"
     unit_forget_bias: bool = True
+    compute_dtype: str = "float32"
+    remat: bool = False
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x_seq: jnp.ndarray, *, training: bool = True) -> jnp.ndarray:
@@ -226,6 +256,7 @@ class LSTM(nn.Module):
         u = self.units
         act = _act(self.activation)
         rec_act = _act(self.recurrent_activation)
+        cdt = _compute_dtype(self.compute_dtype)
 
         kernel = self.param(
             "kernel", nn.initializers.glorot_uniform(), (feat, 4 * u)
@@ -244,18 +275,20 @@ class LSTM(nn.Module):
 
         xproj = (
             lax.dot_general(
-                x_seq.reshape(b * t, feat),
-                kernel,
+                x_seq.reshape(b * t, feat).astype(cdt),
+                kernel.astype(cdt),
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            ).astype(jnp.float32)
             + bias
         )
         xproj = xproj.reshape(b, t, 4 * u).transpose(1, 0, 2)
 
         def step(carry, xt):
             h_prev, c_prev = carry
-            z = xt + h_prev @ rec_kernel
+            z = xt + lax.dot_general(
+                h_prev.astype(cdt), rec_kernel.astype(cdt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+            ).astype(jnp.float32)
             zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
             i = rec_act(zi)
             fg = rec_act(zf)
@@ -264,9 +297,11 @@ class LSTM(nn.Module):
             hh = o * act(cc)
             return (hh, cc), hh
 
+        if self.remat:
+            step = jax.checkpoint(step, prevent_cse=False)
         h0 = jnp.zeros((b, u), dtype=xproj.dtype)
         c0 = jnp.zeros((b, u), dtype=xproj.dtype)
-        _, out = lax.scan(step, (h0, c0), xproj)
+        _, out = lax.scan(step, (h0, c0), xproj, unroll=self.unroll)
         return out.transpose(1, 0, 2)
 
 
@@ -277,6 +312,7 @@ class Conv2D(nn.Module):
     kernel_size: tuple[int, int]
     strides: tuple[int, int] = (1, 1)
     use_bias: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -286,7 +322,7 @@ class Conv2D(nn.Module):
             nn.initializers.glorot_uniform(),
             (kh, kw, x.shape[-1], self.filters),
         )
-        out = _same_conv(x, kernel, self.strides)
+        out = _same_conv(x, kernel, self.strides, _compute_dtype(self.compute_dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.filters,))
             out = out + bias
@@ -306,6 +342,7 @@ class ConvTranspose2D(nn.Module):
     strides: tuple[int, int] = (1, 1)
     use_bias: bool = True
     activation: str | None = None
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -328,15 +365,15 @@ class ConvTranspose2D(nn.Module):
             return (ksize - 1 - pb, ksize - 1 - pa)
 
         dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        cdt = _compute_dtype(self.compute_dtype)
         out = lax.conv_general_dilated(
-            x,
-            k,
+            x.astype(cdt),
+            k.astype(cdt),
             window_strides=(1, 1),
             padding=[pad_for(kh, sh), pad_for(kw, sw)],
             lhs_dilation=(sh, sw),
             dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.filters,))
             out = out + bias

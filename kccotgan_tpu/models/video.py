@@ -63,6 +63,9 @@ class VideoEncoder(nn.Module):
     use_norm: bool = False  # `bn` flag -> LayerNorm here (`gan.py:92-108`)
     dropout: float = 0.0
     rnn_dropout: float = 0.0
+    compute_dtype: str = "float32"
+    scan_remat: bool = False
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(
@@ -99,6 +102,9 @@ class VideoEncoder(nn.Module):
                 use_bias=False,
                 dropout=self.dropout,
                 recurrent_dropout=self.rnn_dropout,
+                compute_dtype=self.compute_dtype,
+                remat=self.scan_remat,
+                unroll=self.scan_unroll,
                 name=f"encoder{i + 1}",
             )(
                 h,
@@ -145,6 +151,9 @@ class VideoDecoder(nn.Module):
     dropout: float = 0.0
     rnn_dropout: float = 0.0
     output_activation: str = "sigmoid"
+    compute_dtype: str = "float32"
+    scan_remat: bool = False
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(
@@ -175,7 +184,8 @@ class VideoDecoder(nn.Module):
         h = jnp.concatenate([skip(4), z], axis=-1)
         h = ConvTranspose2D(
             filters=f * 32, kernel_size=g["k1"], strides=g["s1"],
-            use_bias=False, activation="tanh", name="conv_transpose1",
+            use_bias=False, activation="tanh",
+            compute_dtype=self.compute_dtype, name="conv_transpose1",
         )(fold(h))
         h = maybe_norm(h, "conv_norm1")
 
@@ -191,12 +201,15 @@ class VideoDecoder(nn.Module):
             h = ConvLSTM2D(
                 filters=cf, kernel_size=ck, strides=(1, 1), use_bias=cbias,
                 dropout=self.dropout, recurrent_dropout=self.rnn_dropout,
+                compute_dtype=self.compute_dtype,
+                remat=self.scan_remat, unroll=self.scan_unroll,
                 name=dec_name,
             )(h, training=training)
             h = maybe_norm(h, dec_name + "_norm")
             h = ConvTranspose2D(
                 filters=tf_, kernel_size=tk, strides=ts,
-                use_bias=False, activation="tanh", name=ct_name,
+                use_bias=False, activation="tanh",
+                compute_dtype=self.compute_dtype, name=ct_name,
             )(fold(h))
             h = maybe_norm(h, ct_name + "_norm")
 
@@ -206,13 +219,15 @@ class VideoDecoder(nn.Module):
         h = ConvLSTM2D(
             filters=f, kernel_size=(8, 8), strides=(1, 1), use_bias=True,
             dropout=self.dropout, recurrent_dropout=self.rnn_dropout,
+            compute_dtype=self.compute_dtype,
+            remat=self.scan_remat, unroll=self.scan_unroll,
             name="decoder5",
         )(h, training=training)
         h = maybe_norm(h, "decoder5_norm")
         y = ConvTranspose2D(
             filters=self.nchannel, kernel_size=(8, 8), strides=(1, 1),
             use_bias=False, activation=self.output_activation,
-            name="conv_transpose5",
+            compute_dtype=self.compute_dtype, name="conv_transpose5",
         )(fold(h))
         y = y.reshape(b, t_z, self.x_height, self.x_width, self.nchannel)
         return jnp.transpose(y, (0, 2, 1, 3, 4))  # film-strip [B, H, T, W, C]
@@ -224,6 +239,9 @@ class VideoDiscriminator(nn.Module):
     state_size: int = 8
     filter_size: int = 8
     use_batch_norm: bool = False
+    compute_dtype: str = "float32"
+    scan_remat: bool = False
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, video: jnp.ndarray, *, training: bool = True) -> jnp.ndarray:
@@ -233,7 +251,7 @@ class VideoDiscriminator(nn.Module):
         for i, filters in enumerate((f * 4, f * 8, f * 16)):
             x = Conv2D(
                 filters=filters, kernel_size=(5, 5), strides=(2, 2),
-                name=f"conv{i + 1}",
+                compute_dtype=self.compute_dtype, name=f"conv{i + 1}",
             )(x)
             if self.use_batch_norm:
                 x = nn.BatchNorm(
@@ -243,19 +261,21 @@ class VideoDiscriminator(nn.Module):
                 )(x)
             x = leaky_relu(x)
         x = x.reshape(b, t, -1)
-        x = LSTM(units=f * 8, name="lstm1")(x, training=training)
+        x = LSTM(units=f * 8, compute_dtype=self.compute_dtype, remat=self.scan_remat, unroll=self.scan_unroll, name="lstm1")(x, training=training)
         if self.use_batch_norm:
             x = nn.BatchNorm(
                 use_running_average=not training,
                 momentum=_BN_MOMENTUM, epsilon=_BN_EPS, name="rnn_bn1",
             )(x)
-        x = LSTM(units=f * 4, name="lstm2")(x, training=training)
+        x = LSTM(units=f * 4, compute_dtype=self.compute_dtype, remat=self.scan_remat, unroll=self.scan_unroll, name="lstm2")(x, training=training)
         if self.use_batch_norm:
             x = nn.BatchNorm(
                 use_running_average=not training,
                 momentum=_BN_MOMENTUM, epsilon=_BN_EPS, name="rnn_bn2",
             )(x)
-        x = LSTM(units=self.state_size, activation="sigmoid", name="lstm3")(
-            x, training=training
-        )
+        x = LSTM(
+            units=self.state_size, activation="sigmoid",
+            compute_dtype=self.compute_dtype,
+            remat=self.scan_remat, unroll=self.scan_unroll, name="lstm3",
+        )(x, training=training)
         return x

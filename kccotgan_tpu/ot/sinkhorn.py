@@ -169,7 +169,9 @@ def flatten_video(frames: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("video", "num_iters", "cost_method", "solver"),
+    # epsilon is static so the fused Pallas solver (custom_vjp with
+    # nondiff eps) sees a Python float even under an outer jit.
+    static_argnames=("video", "epsilon", "num_iters", "cost_method", "solver"),
 )
 def compute_sinkhorn_loss(
     f_real: jnp.ndarray,

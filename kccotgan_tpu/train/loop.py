@@ -19,6 +19,7 @@ import numpy as np
 from ..ckpt import restore_checkpoint, save_checkpoint
 from ..config import TrainConfig
 from ..data import device_prefetch
+from ..utils import profiling
 from ..utils.logging import MetricsLogger, Throughput, write_run_notes
 from .rollout import build_rollout
 from .state import GanModules, TrainState, create_train_state
@@ -63,6 +64,7 @@ class Trainer:
         test_batch: np.ndarray | None = None,
         log_every: int = 1,
         data_sharding=None,
+        profile_steps: tuple[int, int] | None = None,
     ) -> tuple[TrainState, dict]:
         cfg = self.cfg
         if state is None:
@@ -82,9 +84,15 @@ class Trainer:
         for batch in device_prefetch(batches, sharding=data_sharding):
             if batch.shape[0] != cfg.batch_size:
                 continue  # ragged tail (`kernel_train.py:298-299`)
+            if profile_steps is not None and step + 1 == profile_steps[0]:
+                profiling.start_trace(os.path.join(self.run_dir, "profile"))
             state, metrics = self.train_step(state, batch)
             step += 1
             thru.tick()
+            if profile_steps is not None and step == profile_steps[1]:
+                jax.block_until_ready(metrics["sinkhorn_loss"])
+                profiling.stop_trace()
+                profile_steps = None
 
             # Fetch the PREVIOUS step's metrics — one step behind, so the
             # host never blocks on the in-flight step (the reference

@@ -50,6 +50,9 @@ class GanModules:
             use_norm=m.use_norm,
             dropout=m.dropout,
             rnn_dropout=m.rnn_dropout,
+            compute_dtype=cfg.compute_dtype,
+            scan_remat=cfg.scan_remat,
+            scan_unroll=cfg.scan_unroll,
         )
         self.decoder = VideoDecoder(
             x_height=m.x_height,
@@ -60,11 +63,17 @@ class GanModules:
             dropout=m.dropout,
             rnn_dropout=m.rnn_dropout,
             output_activation=m.output_activation,
+            compute_dtype=cfg.compute_dtype,
+            scan_remat=cfg.scan_remat,
+            scan_unroll=cfg.scan_unroll,
         )
         disc_kwargs = dict(
             state_size=m.d_state_size,
             filter_size=m.d_filter_size,
             use_batch_norm=m.use_norm,
+            compute_dtype=cfg.compute_dtype,
+            scan_remat=cfg.scan_remat,
+            scan_unroll=cfg.scan_unroll,
         )
         self.disc_h = VideoDiscriminator(**disc_kwargs)
         self.disc_m = VideoDiscriminator(**disc_kwargs)

@@ -21,6 +21,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the train-step variant tests each compile a
+# full two-phase GAN program (~2 min of XLA CPU time); cache them across
+# pytest runs.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 import numpy as np
 import pytest
 

@@ -116,6 +116,39 @@ def test_train_step_finite_and_updates(state_and_mods, tiny_batch):
         ), f"{name} did not update"
 
 
+def test_train_step_pallas_solver(tiny_batch):
+    """Full GAN step with the fused Pallas Sinkhorn solver (interpret
+    mode on CPU) — guards the static-epsilon plumbing through the jitted
+    step (custom_vjp nondiff args must see Python floats)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, sinkhorn_solver="pallas")
+    mods = GanModules(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(2))
+    step_fn = build_train_step(cfg, mods, jit=True, donate=False)
+    _, metrics = step_fn(state, jnp.array(tiny_batch))
+    assert np.isfinite(float(metrics["sinkhorn_loss"]))
+
+
+def test_train_step_bfloat16_compute(tiny_batch):
+    """Mixed precision: bf16 MXU inputs, f32 accumulation/params.  The
+    step must stay finite and track the f32 loss to bf16 tolerance."""
+    import dataclasses
+
+    losses = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = dataclasses.replace(TINY, compute_dtype=dt)
+        mods = GanModules(cfg)
+        state = create_train_state(cfg, jax.random.PRNGKey(3))
+        step_fn = build_train_step(cfg, mods, jit=True, donate=False)
+        _, metrics = step_fn(state, jnp.array(tiny_batch))
+        losses[dt] = float(metrics["sinkhorn_loss"])
+        assert np.isfinite(losses[dt]), dt
+    # bf16 has ~3 decimal digits; the divergence is a difference of
+    # large Sinkhorn terms, so allow a loose relative tolerance.
+    np.testing.assert_allclose(losses["bfloat16"], losses["float32"], rtol=0.2)
+
+
 def test_train_step_smoothing_modes(tiny_batch):
     for kern in ("1d", "3d"):
         cfg = TrainConfig(
@@ -210,3 +243,23 @@ def test_trainer_fit_synthetic(tmp_path):
     assert summary["steps"] == 3
     assert os.path.exists(os.path.join(trainer.run_dir, "train_notes.txt"))
     assert os.path.exists(os.path.join(trainer.run_dir, "log", "metrics.jsonl"))
+
+
+def test_scan_remat_is_exact(tiny_batch):
+    """jax.checkpoint on the scan bodies must not change values or
+    gradients — only residual memory traffic."""
+    import dataclasses
+
+    results = {}
+    for remat in (False, True):
+        cfg = dataclasses.replace(TINY, scan_remat=remat)
+        mods = GanModules(cfg)
+        state = create_train_state(cfg, jax.random.PRNGKey(4))
+        step_fn = build_train_step(cfg, mods, jit=True, donate=False)
+        new_state, metrics = step_fn(state, jnp.array(tiny_batch))
+        results[remat] = (
+            float(metrics["sinkhorn_loss"]),
+            np.asarray(jax.tree_util.tree_leaves(new_state.dec_params)[0]),
+        )
+    np.testing.assert_allclose(results[True][0], results[False][0], rtol=1e-6)
+    np.testing.assert_allclose(results[True][1], results[False][1], rtol=1e-5, atol=1e-8)
