@@ -1,6 +1,7 @@
 """Mesh + data-parallel training (GSPMD exact mode / shard_map local mode)."""
 
 from .mesh import DATA_AXIS, batch_sharding, make_mesh, replicated_sharding
+from .seqpar import SEQ_AXIS, time_sharded_scan
 from .sharding import build_sharded_train_step, replicate_state, shard_batch
 
 __all__ = [
@@ -11,4 +12,6 @@ __all__ = [
     "build_sharded_train_step",
     "replicate_state",
     "shard_batch",
+    "SEQ_AXIS",
+    "time_sharded_scan",
 ]
