@@ -97,6 +97,16 @@ class TrainConfig:
     #   dominates the step; recompute of the gate math is cheaper)
     scan_unroll: int = 1     # lax.scan unroll factor for ConvLSTM/LSTM
 
+    # Run the 4 discriminator passes (h/m x real/fake) as ONE vmapped
+    # call over stacked params: 4x fewer scan launches at 4x batch.
+    # Exact: vmapped BatchNorm normalizes each instance by its own
+    # batch (same as sequential calls) and the sequential running-stat
+    # chain is reconstructed algebraically (see train/steps.py).
+    # Default OFF: measured SLOWER on v5e (3387 vs 3554 frames/sec) —
+    # vmap over conv KERNELS lowers to batched-kernel convs that the
+    # TPU backend handles worse than 4 separate fused convs.
+    fused_discriminators: bool = False
+
     # bookkeeping
     seed: int = 1
     save_freq: int = 10

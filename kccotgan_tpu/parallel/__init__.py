@@ -1,6 +1,12 @@
 """Mesh + data-parallel training (GSPMD exact mode / shard_map local mode)."""
 
-from .mesh import DATA_AXIS, batch_sharding, make_mesh, replicated_sharding
+from .mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    initialize_multihost,
+    make_mesh,
+    replicated_sharding,
+)
 from .seqpar import SEQ_AXIS, time_sharded_scan
 from .sharding import build_sharded_train_step, replicate_state, shard_batch
 
@@ -9,6 +15,7 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",
+    "initialize_multihost",
     "build_sharded_train_step",
     "replicate_state",
     "shard_batch",

@@ -13,9 +13,38 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "DATA_AXIS"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "initialize_multihost",
+    "DATA_AXIS",
+]
 
 DATA_AXIS = "data"
+
+
+def initialize_multihost(**kwargs) -> int:
+    """Join a multi-host/multi-slice TPU job (DCN across slices).
+
+    The TPU-native comms backend (SURVEY.md §5.8): instead of the
+    NCCL/MPI layer a GPU framework would carry, a single
+    ``jax.distributed.initialize`` call wires every host's chips into
+    one global device set; XLA then lowers collectives onto ICI within
+    a slice and DCN across slices.  On single-host runs (no coordinator
+    env) this is a no-op.
+
+    Returns the global device count.
+    """
+    import os
+
+    if (
+        "coordinator_address" in kwargs
+        or os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    ):
+        jax.distributed.initialize(**kwargs)
+    return len(jax.devices())
 
 
 def make_mesh(n_devices: int | None = None, *, axis_name: str = DATA_AXIS) -> Mesh:

@@ -83,12 +83,62 @@ def gan_forward(
         )
         return out, updates.get("batch_stats", stats)
 
-    # Call order mirrors `kernel_train.py:241-245`: h(fake), h(real),
-    # then m(real), m(fake) — running BN stats chain through each call.
-    h_fake, h_stats = disc_apply(mods.disc_h, h_params, h_stats, fake_s)
-    h_real, h_stats = disc_apply(mods.disc_h, h_params, h_stats, real_s)
-    m_real, m_stats = disc_apply(mods.disc_m, m_params, m_stats, real_s)
-    m_fake, m_stats = disc_apply(mods.disc_m, m_params, m_stats, fake_s)
+    if cfg.fused_discriminators:
+        # ONE vmapped pass for all 4 discriminator evaluations (h/m x
+        # fake/real): 4x fewer scan/conv launches at 4x batch.  Exact
+        # w.r.t. the sequential reference order (`kernel_train.py:
+        # 241-245`): training-mode BatchNorm normalizes each vmapped
+        # instance by its own batch, identical to separate calls; the
+        # running-stat CHAIN (h: fake then real; m: real then fake) is
+        # reconstructed below from the two independent single-call
+        # updates:  seq = mu*s_first + s_second - mu*old
+        # (since s_i = mu*old + (1-mu)*batch_i).
+        stacked_params = jax.tree_util.tree_map(
+            lambda hp, mp: jnp.stack([hp, hp, mp, mp]), h_params, m_params
+        )
+        stacked_x = jnp.stack([fake_s, real_s, real_s, fake_s])
+        if h_stats:
+            stacked_stats = jax.tree_util.tree_map(
+                lambda hs, ms: jnp.stack([hs, hs, ms, ms]), h_stats, m_stats
+            )
+
+            def one(p, s, x):
+                return mods.disc_h.apply(
+                    {"params": p, "batch_stats": s}, x,
+                    training=True, mutable=["batch_stats"],
+                )
+
+            outs, upd = jax.vmap(one)(stacked_params, stacked_stats, stacked_x)
+            new = upd["batch_stats"]
+            from ..models.video import _BN_MOMENTUM as mu
+
+            def chain(old, first, second):
+                return mu * first + second - mu * old
+
+            h_stats = jax.tree_util.tree_map(
+                lambda old, n: chain(old, n[0], n[1]), h_stats, new
+            )
+            m_stats = jax.tree_util.tree_map(
+                lambda old, n: chain(old, n[2], n[3]), m_stats, new
+            )
+        else:
+
+            def one(p, x):
+                out, _ = mods.disc_h.apply(
+                    {"params": p}, x, training=True, mutable=["batch_stats"]
+                )
+                return out
+
+            outs = jax.vmap(one)(stacked_params, stacked_x)
+        h_fake, h_real, m_real, m_fake = outs[0], outs[1], outs[2], outs[3]
+    else:
+        # Sequential reference order (`kernel_train.py:241-245`):
+        # h(fake), h(real), then m(real), m(fake) — running BN stats
+        # chain through each call.
+        h_fake, h_stats = disc_apply(mods.disc_h, h_params, h_stats, fake_s)
+        h_real, h_stats = disc_apply(mods.disc_h, h_params, h_stats, real_s)
+        m_real, m_stats = disc_apply(mods.disc_m, m_params, m_stats, real_s)
+        m_fake, m_stats = disc_apply(mods.disc_m, m_params, m_stats, fake_s)
 
     scaling = cfg.effective_scaling
     loss = compute_sinkhorn_loss(

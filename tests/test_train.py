@@ -263,3 +263,53 @@ def test_scan_remat_is_exact(tiny_batch):
         )
     np.testing.assert_allclose(results[True][0], results[False][0], rtol=1e-6)
     np.testing.assert_allclose(results[True][1], results[False][1], rtol=1e-5, atol=1e-8)
+
+
+def test_fused_discriminators_exact(tiny_batch):
+    """The vmapped 4-way discriminator pass must match the sequential
+    reference-order calls: identical losses, discriminator outputs (via
+    the loss), BN running-stat chains, and raw gradients.  (Comparing
+    post-Adam params is too brittle: a first Adam step is ~lr*sign(g),
+    so 1e-7 gradient noise flips signs.  atol covers BN-cancelled
+    conv-bias grads, which are analytically zero.)"""
+    import dataclasses
+
+    from kccotgan_tpu.train.steps import gan_forward
+
+    batch = jnp.array(tiny_batch)
+    outs = {}
+    for fused in (False, True):
+        cfg = dataclasses.replace(TINY, fused_discriminators=fused)
+        mods = GanModules(cfg)
+        state = create_train_state(cfg, jax.random.PRNGKey(6))
+        z = jax.random.normal(
+            jax.random.PRNGKey(9), mods.z_shape(cfg.batch_size, cfg.pred_time_steps)
+        )
+
+        def fwd(m_params):
+            loss, pm, h_stats, m_stats = gan_forward(
+                mods, cfg, state.enc_params, state.dec_params,
+                state.h_params, m_params, state.h_stats, state.m_stats,
+                batch, z, jnp.float32(cfg.init_sigma),
+            )
+            return loss + pm, (pm, h_stats, m_stats)
+
+        (val, (pm, h_stats, m_stats)), grad = jax.value_and_grad(
+            fwd, has_aux=True
+        )(state.m_params)
+        outs[fused] = (float(val), float(pm), h_stats, m_stats, grad)
+
+    v0, pm0, hs0, ms0, g0 = outs[False]
+    v1, pm1, hs1, ms1, g1 = outs[True]
+    np.testing.assert_allclose(v1, v0, rtol=1e-5)
+    np.testing.assert_allclose(pm1, pm0, rtol=1e-5)
+    for name, (a_tree, b_tree) in {
+        "h_stats": (hs1, hs0), "m_stats": (ms1, ms0), "m_grad": (g1, g0)
+    }.items():
+        for a, b in zip(
+            jax.tree_util.tree_leaves(a_tree), jax.tree_util.tree_leaves(b_tree)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                err_msg=name,
+            )
