@@ -44,6 +44,8 @@ def main() -> int:
         help="MXU compute precision for model convs/matmuls "
              "(params + Sinkhorn stay f32)",
     )
+    p.add_argument("--unroll", type=int, default=1,
+                   help="lax.scan unroll factor for ConvLSTM/LSTM scans")
     args = p.parse_args()
 
     if not args.no_cache:
@@ -68,6 +70,7 @@ def main() -> int:
         sinkhorn_l=100,
         sinkhorn_solver=args.solver,
         compute_dtype=args.dtype,
+        scan_unroll=args.unroll,
         model=ModelConfig(x_height=64, x_width=64, n_channels=1),
     )
     print(

@@ -10,13 +10,21 @@ RNG key) round-trips through Orbax, giving exact resume.
 from __future__ import annotations
 
 import os
+from typing import TYPE_CHECKING
 
 import jax
 import orbax.checkpoint as ocp
 
-from ..train.state import TrainState
+if TYPE_CHECKING:  # annotation-only: a runtime import would be circular
+    # (train.loop imports ckpt for the async writer)
+    from ..train.state import TrainState
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_step",
+    "CheckpointWriter",
+]
 
 
 def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
@@ -32,6 +40,31 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int | None = None) -
     mgr.save(step, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()
     mgr.close()
+
+
+class CheckpointWriter:
+    """Async checkpointing for the training loop.
+
+    Holds ONE CheckpointManager for the run (``save_checkpoint`` opens
+    and fsyncs per call — correct for one-shot use, wasteful per-step)
+    and lets Orbax write in the background: ``save`` enqueues and
+    returns, overlapping the serialization/IO with subsequent training
+    steps; ``close`` drains.
+    """
+
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 3):
+        self._mgr = _manager(ckpt_dir, max_to_keep)
+
+    def save(self, state: TrainState, step: int | None = None) -> None:
+        step = int(jax.device_get(state.step)) if step is None else step
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
 
 
 def latest_step(ckpt_dir: str) -> int | None:

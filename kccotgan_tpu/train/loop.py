@@ -16,7 +16,7 @@ from typing import Iterator, Optional
 import jax
 import numpy as np
 
-from ..ckpt import restore_checkpoint, save_checkpoint
+from ..ckpt import CheckpointWriter, restore_checkpoint
 from ..config import TrainConfig
 from ..data import device_prefetch
 from ..utils import profiling
@@ -73,6 +73,7 @@ class Trainer:
         write_run_notes(self.run_dir, cfg)
         self.logger = MetricsLogger(os.path.join(self.run_dir, "log"))
 
+        ckpt_writer = CheckpointWriter(os.path.join(self.run_dir, "ckpt"))
         frames_per_step = cfg.batch_size * cfg.total_time_steps
         # 3 sinkhorn solves x L iters x 2 phases per step
         thru = Throughput(frames_per_step, 6 * cfg.sinkhorn_l)
@@ -110,7 +111,10 @@ class Trainer:
             prev_metrics = metrics
 
             if step % cfg.ckpt_freq == 0:
-                save_checkpoint(os.path.join(self.run_dir, "ckpt"), state, step)
+                # async: Orbax serializes in the background while the
+                # next steps run (the reference blocks on Keras
+                # save_weights, `kernel_train.py:331-338`)
+                ckpt_writer.save(state, step)
             if test_batch is not None and (step % cfg.save_freq == 0 or step == 1):
                 self._sample_and_log(state, test_batch, step)
 
@@ -134,6 +138,7 @@ class Trainer:
         for k, v in rates.items():
             self.logger.scalar(f"throughput/{k}", v, step)
         self.logger.close()
+        ckpt_writer.close()
         return state, summary
 
     def _sample_and_log(self, state: TrainState, test_batch: np.ndarray, step: int) -> None:

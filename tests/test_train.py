@@ -313,3 +313,36 @@ def test_fused_discriminators_exact(tiny_batch):
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
                 err_msg=name,
             )
+
+
+def test_sample_cli_roundtrip(tmp_path):
+    """Train 2 steps on synthetic data via the training CLI machinery,
+    then drive the sampling CLI against the written checkpoint."""
+    import dataclasses
+
+    from kccotgan_tpu.cli.sample import main as sample_main
+    from kccotgan_tpu.config import presets
+    from kccotgan_tpu.data import make_dataset
+
+    cfg = dataclasses.replace(
+        TINY, dname="synthetic", ckpt_freq=2, out_dir=str(tmp_path),
+        run_name="r",
+    )
+    batches, test_batch = make_dataset(cfg)
+    tr = Trainer(cfg)
+    tr.fit(batches, max_steps=2, test_batch=None)
+
+    # register a throwaway preset matching the tiny config
+    presets.PRESETS["_test_tiny"] = lambda: cfg
+    try:
+        rc = sample_main([
+            "--preset", "_test_tiny",
+            "--ckpt", str(tmp_path / "r" / "ckpt"),
+            "--out", str(tmp_path / "samples"),
+            "--num", "2",
+        ])
+    finally:
+        presets.PRESETS.pop("_test_tiny")
+    assert rc == 0
+    assert os.path.getsize(tmp_path / "samples" / "rollout.gif") > 0
+    assert os.path.getsize(tmp_path / "samples" / "rollout_strips.png") > 0
