@@ -21,12 +21,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache: the train-step variant tests each compile a
-# full two-phase GAN program (~2 min of XLA CPU time); cache them across
-# pytest runs.
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+# NOTE: do NOT enable the persistent compile cache here.  Its background
+# serialization threads (100MB+ executable writes) starve the 8-virtual-
+# device collective rendezvous on this single-core host — XLA:CPU hard-
+# aborts the process after 40s ("Exiting to ensure a consistent program
+# state").  Sharing the axon .jax_cache is also unsafe: its host-side
+# entries are compiled on the REMOTE TPU server's CPU and trip the
+# cpu_aot_loader machine-feature mismatch when loaded locally.
 
 import numpy as np
 import pytest

@@ -283,3 +283,39 @@ def test_parity_vs_reference_bicausal(rng):
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_implicit_gradient_matches_unrolled_at_convergence(rng):
+    """grad='implicit' (IFT at the dual fixed point, one [2B,2B] solve)
+    must approach the unrolled gradient as L grows — the O(1)-backward
+    production mode for large L."""
+    from kccotgan_tpu.ot.sinkhorn import sinkhorn_from_cost
+
+    c = jnp.array(np.abs(rng.normal(size=(8, 8))).astype(np.float32) + 0.1)
+
+    def loss(c, grad, l):
+        return sinkhorn_from_cost(c, epsilon=0.5, num_iters=l, grad=grad)
+
+    # values identical regardless of grad mode
+    np.testing.assert_allclose(
+        float(loss(c, "implicit", 300)), float(loss(c, "unrolled", 300)), rtol=1e-6
+    )
+    g_env = jax.grad(lambda cc: loss(cc, "implicit", 300))(c)
+    g_unr = jax.grad(lambda cc: loss(cc, "unrolled", 300))(c)
+    rel = float(
+        jnp.linalg.norm(g_env - g_unr) / (jnp.linalg.norm(g_unr) + 1e-12)
+    )
+    assert rel < 0.02, f"implicit grad too far from unrolled: rel={rel}"
+
+    # and through the full mixed loss it must run and stay finite
+    x = jnp.array(rng.normal(size=(6, 4, 10)).astype(np.float32))
+    y = jnp.array(rng.normal(size=(6, 4, 10)).astype(np.float32))
+    h = jnp.array(rng.normal(size=(6, 4, 3)).astype(np.float32))
+    m = jnp.array(rng.normal(size=(6, 4, 3)).astype(np.float32))
+    g = jax.grad(
+        lambda yy: compute_sinkhorn_loss(
+            x, yy, 1 / 15.0, h, m, h, m, video=False, num_iters=50,
+            grad="implicit",
+        )
+    )(y)
+    assert np.isfinite(np.asarray(g)).all()

@@ -62,13 +62,19 @@ def test_global_mode_matches_single_device(batch):
     single = build_train_step(cfg, mods, jit=True, donate=False)
     s1, m1 = single(state, batch)
     s1, m1 = single(s1, batch)
+    jax.block_until_ready(m1)
 
     mesh = make_mesh()
     sharded = build_sharded_train_step(cfg, mods, mesh)
     st = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
     gb = shard_batch(batch, mesh)
+    # One 8-thread collective program at a time: overlapping async
+    # dispatches starve XLA:CPU's collective rendezvous (hard 40s
+    # timeout -> process abort) on a single-core host.
     s2, m2 = sharded(st, gb)
+    jax.block_until_ready(m2)
     s2, m2 = sharded(s2, gb)
+    jax.block_until_ready(m2)
 
     np.testing.assert_allclose(
         float(m1["sinkhorn_loss"]), float(m2["sinkhorn_loss"]), rtol=1e-4
@@ -87,6 +93,7 @@ def test_local_shard_mode_runs(batch):
     sharded = build_sharded_train_step(cfg, mods, mesh)
     st = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
     s, m = sharded(st, shard_batch(batch, mesh))
+    jax.block_until_ready(m)
     assert np.isfinite(float(m["sinkhorn_loss"]))
     assert np.isfinite(float(m["pm"]))
     assert int(jax.device_get(s.step)) == 1
@@ -104,10 +111,12 @@ def test_global_sinkhorn_couples_shards(batch):
     sharded = build_sharded_train_step(cfg, mods, mesh)
     st = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
     s_a, m_a = sharded(st, shard_batch(batch, mesh))
+    jax.block_until_ready(m_a)
     # batch rolled across devices: different shard contents, same global set
     rolled = jnp.roll(batch, 3, axis=0)
     st_b = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
     s_b, m_b = sharded(st_b, shard_batch(rolled, mesh))
+    jax.block_until_ready(m_b)
     np.testing.assert_allclose(
         float(m_a["pm"]), float(m_b["pm"]), rtol=1e-4
     )
