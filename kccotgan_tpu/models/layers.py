@@ -114,6 +114,12 @@ class ConvLSTM2D(nn.Module):
     compute_dtype: str = "float32"
     remat: bool = False      # checkpoint the scan body: save only (h, c)
     unroll: int = 1          # lax.scan unroll factor
+    # Sequence parallelism: when set, the time axis of ``x_seq`` is a
+    # SHARD of a global sequence distributed over this mesh axis, and
+    # the recurrence runs as a ring-relay scan (parallel/seqpar.py).
+    # The module must then be applied inside shard_map with the axis
+    # bound and time sharded over it.
+    seq_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -228,7 +234,16 @@ class ConvLSTM2D(nn.Module):
             c0 = jnp.zeros((b, ho, wo, f), dtype=xconv.dtype)
         else:
             h0, c0 = initial_state
-        carry, out = lax.scan(step, (h0, c0), xconv, unroll=self.unroll)
+        if self.seq_axis is not None:
+            # Deferred import: ..parallel's package __init__ pulls in
+            # train.steps -> models -> this module (cycle at import time).
+            from ..parallel.seqpar import time_sharded_scan
+
+            carry, out = time_sharded_scan(
+                step, (h0, c0), xconv, axis_name=self.seq_axis
+            )
+        else:
+            carry, out = lax.scan(step, (h0, c0), xconv, unroll=self.unroll)
         out = out.transpose(1, 0, 2, 3, 4)
         if return_state:
             return out, carry
@@ -249,6 +264,7 @@ class LSTM(nn.Module):
     compute_dtype: str = "float32"
     remat: bool = False
     unroll: int = 1
+    seq_axis: str | None = None  # same contract as ConvLSTM2D.seq_axis
 
     @nn.compact
     def __call__(self, x_seq: jnp.ndarray, *, training: bool = True) -> jnp.ndarray:
@@ -301,7 +317,14 @@ class LSTM(nn.Module):
             step = jax.checkpoint(step, prevent_cse=False)
         h0 = jnp.zeros((b, u), dtype=xproj.dtype)
         c0 = jnp.zeros((b, u), dtype=xproj.dtype)
-        _, out = lax.scan(step, (h0, c0), xproj, unroll=self.unroll)
+        if self.seq_axis is not None:
+            from ..parallel.seqpar import time_sharded_scan
+
+            _, out = time_sharded_scan(
+                step, (h0, c0), xproj, axis_name=self.seq_axis
+            )
+        else:
+            _, out = lax.scan(step, (h0, c0), xproj, unroll=self.unroll)
         return out.transpose(1, 0, 2)
 
 

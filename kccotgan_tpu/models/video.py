@@ -66,6 +66,12 @@ class VideoEncoder(nn.Module):
     compute_dtype: str = "float32"
     scan_remat: bool = False
     scan_unroll: int = 1
+    # Sequence parallelism (SURVEY.md §2.9): when set, this encoder must
+    # be applied inside shard_map with the video's TIME axis sharded
+    # over this mesh axis and ``slice_time=False`` (the [:, Tc-1:]
+    # pyramid slice is a global-time op — the parallel.time_sharded_
+    # encode wrapper performs it outside the shard_map region).
+    seq_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -105,6 +111,7 @@ class VideoEncoder(nn.Module):
                 compute_dtype=self.compute_dtype,
                 remat=self.scan_remat,
                 unroll=self.scan_unroll,
+                seq_axis=self.seq_axis,
                 name=f"encoder{i + 1}",
             )(
                 h,
@@ -154,6 +161,10 @@ class VideoDecoder(nn.Module):
     compute_dtype: str = "float32"
     scan_remat: bool = False
     scan_unroll: int = 1
+    # Sequence parallelism: same contract as VideoEncoder.seq_axis; use
+    # with ``pre_sliced=True`` (teacher-forcing [:, :-1] is a global-
+    # time slice, done outside shard_map by parallel.time_sharded_decode).
+    seq_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -162,6 +173,7 @@ class VideoDecoder(nn.Module):
         z: jnp.ndarray,
         *,
         training: bool = True,
+        pre_sliced: bool = False,
     ) -> jnp.ndarray:
         f = self.filter_size
         g = _decoder_geometry(self.x_height, self.x_width)
@@ -169,6 +181,8 @@ class VideoDecoder(nn.Module):
 
         def skip(level: int) -> jnp.ndarray:
             feats = pyramid[level]
+            if pre_sliced:
+                return feats
             return feats[:, :-1] if training else feats[:, -1:]
 
         def fold(seq):  # [B, T, h, w, c] -> [B*T, h, w, c]
@@ -203,6 +217,7 @@ class VideoDecoder(nn.Module):
                 dropout=self.dropout, recurrent_dropout=self.rnn_dropout,
                 compute_dtype=self.compute_dtype,
                 remat=self.scan_remat, unroll=self.scan_unroll,
+                seq_axis=self.seq_axis,
                 name=dec_name,
             )(h, training=training)
             h = maybe_norm(h, dec_name + "_norm")
@@ -221,6 +236,7 @@ class VideoDecoder(nn.Module):
             dropout=self.dropout, recurrent_dropout=self.rnn_dropout,
             compute_dtype=self.compute_dtype,
             remat=self.scan_remat, unroll=self.scan_unroll,
+            seq_axis=self.seq_axis,
             name="decoder5",
         )(h, training=training)
         h = maybe_norm(h, "decoder5_norm")

@@ -7,6 +7,7 @@ from .mesh import (
     make_mesh,
     replicated_sharding,
 )
+from .seqmodel import seq_mesh, time_sharded_decode, time_sharded_encode
 from .seqpar import SEQ_AXIS, time_sharded_scan
 from .sharding import build_sharded_train_step, replicate_state, shard_batch
 
@@ -21,4 +22,7 @@ __all__ = [
     "shard_batch",
     "SEQ_AXIS",
     "time_sharded_scan",
+    "seq_mesh",
+    "time_sharded_encode",
+    "time_sharded_decode",
 ]

@@ -1,0 +1,129 @@
+"""Sequence parallelism for the real video models.
+
+Wires ``time_sharded_scan`` (parallel/seqpar.py) into the actual
+``VideoEncoder`` / ``VideoDecoder`` ConvLSTM stacks (SURVEY.md §2.9
+"halo-exchange carry state via ppermute across the seq axis" — the
+reference analogue is the sequential T-scans at
+`/root/reference/gan.py:91-109`).  Each device holds only ``T/S``
+frames of every activation, so per-device activation memory for the
+ConvLSTM pyramids scales O(T/S) — the enabler for long-horizon configs
+that exceed one chip's HBM.
+
+Design split:
+
+* per-timestep work (the hoisted input convs, LayerNorm, the decoder's
+  per-frame ConvTranspose) is embarrassingly parallel over time and
+  runs on local shards untouched;
+* the recurrences run as ring-relay scans (``seq_axis`` set on the
+  layers — they relay the (h, c) carry over ``lax.ppermute``);
+* global-TIME slices (the encoder's ``[:, Tc-1:]`` pyramid slice, the
+  decoder's teacher-forcing ``[:, :-1]``) cannot be done on a local
+  chunk, so these wrappers hoist them OUTSIDE the shard_map region
+  where GSPMD reshards the (time-sharded) global arrays exactly.
+
+Exactness vs the unsharded modules is test-pinned on an 8-device CPU
+mesh (tests/test_seqpar.py) and asserted by the driver dryrun.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .seqpar import SEQ_AXIS
+
+__all__ = ["seq_mesh", "time_sharded_encode", "time_sharded_decode"]
+
+
+def seq_mesh(n_devices: int | None = None, *, axis_name: str = SEQ_AXIS) -> Mesh:
+    """1-D mesh over the time axis."""
+    import numpy as np
+
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def time_sharded_encode(
+    encoder,
+    variables,
+    video: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    training: bool = True,
+    axis_name: str = SEQ_AXIS,
+):
+    """Run ``VideoEncoder`` with the time axis sharded over ``axis_name``.
+
+    Args:
+      encoder: a ``models.VideoEncoder`` instance (``seq_axis`` unset —
+        it is cloned with the axis bound here).
+      variables: its flax variables (replicated).
+      video: global film-strip video ``[B, H, T, W, C]``; ``T`` must be
+        divisible by the mesh axis size.
+      mesh: a mesh containing ``axis_name``.
+
+    Returns the same 5-level pyramid as ``encoder.apply(...,
+    slice_time=True)`` — each level ``[B, T-Tc+1, h, w, c]`` sharded
+    over time — exactly (ring-relay scan is bit-exact vs lax.scan).
+    """
+    enc = encoder.clone(seq_axis=axis_name)
+    tc = encoder.int_time_steps
+
+    def body(video_local):
+        # Full-length pyramid on the local chunk; the [:, Tc-1:] slice
+        # is global-time and happens outside.
+        return enc.apply(variables, video_local, training=training, slice_time=False)
+
+    pyramid = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(None, None, axis_name),   # [B, H, T, W, C]: shard T
+        out_specs=P(None, axis_name),        # [B, T, h, w, c]: shard T
+        check_vma=False,
+    )(video)
+    return [lvl[:, tc - 1 :] for lvl in pyramid]
+
+
+def time_sharded_decode(
+    decoder,
+    variables,
+    pyramid: Sequence[jnp.ndarray],
+    z: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    training: bool = True,
+    axis_name: str = SEQ_AXIS,
+) -> jnp.ndarray:
+    """Run ``VideoDecoder`` with the time axis sharded over ``axis_name``.
+
+    ``pyramid`` is the encoder's (global) 5-level output; the teacher-
+    forcing slice ``[:, :-1]`` (or inference ``[:, -1:]``) is applied
+    here, outside shard_map, then the decoder consumes pre-sliced skips
+    on local time chunks.  ``z.shape[1]`` must equal the sliced skip
+    length and be divisible by the mesh axis size.
+
+    Returns fake frames ``[B, H, T_z, W, C]`` (film-strip), time-sharded.
+    """
+    dec = decoder.clone(seq_axis=axis_name)
+    sliced = [
+        (lvl[:, :-1] if training else lvl[:, -1:]) for lvl in pyramid
+    ]
+
+    def body(pyr_local, z_local):
+        return dec.apply(
+            variables, pyr_local, z_local, training=training, pre_sliced=True
+        )
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis_name), P(None, axis_name)),
+        out_specs=P(None, None, axis_name),  # film-strip [B, H, T, W, C]
+        check_vma=False,
+    )(sliced, z)
