@@ -26,6 +26,17 @@ def _drop_alpha(batch: np.ndarray, channels: int) -> np.ndarray:
     return batch[..., :channels]
 
 
+def _collect_batch(it: Iterator[np.ndarray], n: int) -> np.ndarray | None:
+    """Stack the first ``n`` samples of a generator, or None if it
+    yields fewer (e.g. an empty/short test directory)."""
+    samples = []
+    for sample in it:
+        samples.append(np.asarray(sample, dtype=np.float32))
+        if len(samples) == n:
+            return np.stack(samples)
+    return None
+
+
 def make_dataset(cfg: TrainConfig) -> tuple[Iterator[np.ndarray], np.ndarray | None]:
     """Returns (train batch iterator over n_epochs, one test batch)."""
     m = cfg.model
@@ -83,22 +94,41 @@ def make_dataset(cfg: TrainConfig) -> tuple[Iterator[np.ndarray], np.ndarray | N
     if cfg.dname == "kth":
         from .kth import kth_samples
 
+        # Split dirs mirror the reference: kth/ for train, kth_test/
+        # for the rollout-sampling test stream (`data_utils.py:163-166`,
+        # `kernel_train.py:89-98`).
         root = os.path.join(cfg.data_path, "kth")
+        test_root = os.path.join(cfg.data_path, "kth_test")
         gen = GeneratorDataset(
             lambda: kth_samples(root, b, m.x_height, m.x_width, t, seed=cfg.seed),
             b,
         )
-        return gen.repeat(cfg.n_epochs), None
+        test = None
+        if os.path.isdir(test_root):
+            test_it = kth_samples(
+                test_root, b, m.x_height, m.x_width, t, seed=cfg.seed + 1
+            )
+            test = _collect_batch(test_it, b)
+        return gen.repeat(cfg.n_epochs), test
 
     if cfg.dname == "penn_action":
         from .penn import penn_samples
 
+        # The reference has no Penn test stream (`kernel_train.py:84-88`
+        # sets only batched_x); we draw a held-out batch with a distinct
+        # seed so rollout sampling works on this dataset too.
         root = os.path.join(cfg.data_path, "penn_frames")
         gen = GeneratorDataset(
             lambda: penn_samples(root, b, m.x_height, m.x_width, t, seed=cfg.seed),
             b,
         )
-        return gen.repeat(cfg.n_epochs), None
+        test = None
+        if os.path.isdir(root):
+            test_it = penn_samples(
+                root, b, m.x_height, m.x_width, t, seed=cfg.seed + 1
+            )
+            test = _collect_batch(test_it, b)
+        return gen.repeat(cfg.n_epochs), test
 
     if cfg.dname in ("animation", "human_action", "ucf"):
         from .generic import flat_feature_samples

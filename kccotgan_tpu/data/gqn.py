@@ -8,9 +8,13 @@ JPEG strings, decoded here with PIL instead of ``tf.image.decode_jpeg``
 (`data_utils.py:350-352`), optionally resized, truncated to
 ``time_steps`` and emitted in film-strip order ``[H, T, W, 3]``.
 
-A background-threaded shuffling interleave stands in for tf.data's
-``list_files -> repeat -> shuffle(100) -> interleave(cycle=4)``
-(`data_utils.py:417-421`).
+The streaming pipeline reproduces tf.data's
+``list_files -> repeat -> shuffle(100) -> interleave(TFRecordDataset,
+cycle_length=4, block_length=16)`` (`data_utils.py:417-421`): an
+infinite file-name stream through a 100-slot shuffle buffer feeds a
+4-wide block-16 record interleave, and JPEG decode runs on an ordered
+worker pool (``decode_workers``) so host decode overlaps the device
+step instead of starving it (SURVEY.md §3.5 hazard 4).
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ from typing import Iterator
 import numpy as np
 
 from .io import iter_tfrecord, parse_example
+from .pipeline import interleave, parallel_map, shuffle_stream
 
 __all__ = ["GQN_DATASETS", "GqnDatasetInfo", "gqn_record_files", "GqnReader"]
 
@@ -92,6 +97,10 @@ class GqnReader:
         custom_frame_size: int | None = None,
         shuffle_files: bool = True,
         seed: int = 1,
+        shuffle_buffer: int = 100,
+        cycle_length: int = 4,
+        block_length: int = 16,
+        decode_workers: int = 4,
     ):
         if dataset not in GQN_DATASETS:
             raise ValueError(
@@ -109,6 +118,10 @@ class GqnReader:
         self.mode = mode
         self.root = root
         self.shuffle_files = shuffle_files
+        self.shuffle_buffer = shuffle_buffer
+        self.cycle_length = cycle_length
+        self.block_length = block_length
+        self.decode_workers = decode_workers
         self._rng = random.Random(seed)
 
     def files(self) -> list[str]:
@@ -132,19 +145,42 @@ class GqnReader:
         img = Image.fromarray(frame).resize((size, size), Image.BILINEAR)
         return np.asarray(img, dtype=np.uint8)
 
-    def samples(self) -> Iterator[np.ndarray]:
+    def _file_stream(self) -> Iterator[str]:
+        """Infinite file-name stream: list_files -> repeat -> shuffle(100)
+        (`data_utils.py:417-419`)."""
         files = self.files()
-        while True:
-            if self.shuffle_files:
-                self._rng.shuffle(files)
-            for path in files:
-                for record in iter_tfrecord(path):
-                    feats = parse_example(record)
-                    jpegs = feats.get("frames", [])[: self.time_steps]
-                    if len(jpegs) < self.time_steps:
-                        continue
-                    frames = np.stack(
-                        [self._resize(_decode_jpeg(j)) for j in jpegs]
-                    )  # [T, H, W, 3]
-                    strip = np.transpose(frames, (1, 0, 2, 3))  # [H, T, W, 3]
-                    yield strip.astype(np.float32) / 255.0
+
+        def repeated():
+            while True:
+                yield from files
+
+        if not self.shuffle_files:
+            yield from repeated()
+            return
+        yield from shuffle_stream(
+            repeated(), self.shuffle_buffer, seed=self._rng.randrange(2**31)
+        )
+
+    def _decode_record(self, record: bytes) -> np.ndarray | None:
+        feats = parse_example(record)
+        jpegs = feats.get("frames", [])[: self.time_steps]
+        if len(jpegs) < self.time_steps:
+            return None
+        frames = np.stack(
+            [self._resize(_decode_jpeg(j)) for j in jpegs]
+        )  # [T, H, W, 3]
+        strip = np.transpose(frames, (1, 0, 2, 3))  # [H, T, W, 3]
+        return strip.astype(np.float32) / 255.0
+
+    def samples(self) -> Iterator[np.ndarray]:
+        records = interleave(
+            self._file_stream(),
+            iter_tfrecord,
+            cycle_length=self.cycle_length,
+            block_length=self.block_length,
+        )
+        for strip in parallel_map(
+            self._decode_record, records, workers=self.decode_workers
+        ):
+            if strip is not None:
+                yield strip

@@ -36,12 +36,12 @@ def kth_samples(
     height: int = 64,
     width: int = 64,
     time_steps: int = 16,
-    train: bool = True,
     seed: int | None = None,
 ) -> Iterator[np.ndarray]:
     """Yield ``batch_size`` random videos per call, film-strip
     ``[H, T, W, 3]``.  ``data_dir`` contains per-class folders of video
-    files (``kth/`` or ``kth_test/`` as in the reference layout)."""
+    files; the caller selects the split directory (``kth/`` for train,
+    ``kth_test/`` for test — reference `data_utils.py:163-166`)."""
     import cv2
 
     rng = random.Random(seed)

@@ -13,11 +13,12 @@ a *memory-scaling* transform, not a wall-clock one: the scan runs in
 its frames starting from the carry relayed by chunk ``r-1``
 (``lax.ppermute`` over ICI — the ring-communication pattern that
 ring-attention/CP use for KV blocks, applied here to the (h, c) carry,
-exactly as SURVEY.md §2.9 prescribes).  Every device executes the same
-program each round (SPMD); devices outside round ``r`` compute on their
-local chunk but mask the result, so the wall-clock cost is ``S`` local
-scans of length ``T/S`` — the same total scan length as one chip, plus
-``S-1`` carry hops.
+exactly as SURVEY.md §2.9 prescribes).  Wall-clock is ``S`` sequential
+rounds of a ``T/S``-step scan — the same total scan latency as one
+chip, plus ``S-1`` carry hops; there is no round-level parallel speedup
+(the carry chain forbids it), only the O(T/S) per-device memory win.
+Off-turn devices skip the scan entirely via ``lax.cond`` (idle, not
+redundantly computing), so total FLOPs also match one chip.
 
 Exactness: ``time_sharded_scan`` == ``lax.scan`` bit-for-bit on the
 gathered result (test-pinned on an 8-device CPU mesh).
@@ -80,10 +81,16 @@ def time_sharded_scan(
 
     def round_body(r, state):
         carry_in, ys = state
-        # Every device scans its local chunk from its current carry_in;
-        # only the device whose turn it is (idx == r) keeps the result.
-        carry_out, ys_r = lax.scan(step, carry_in, xs_local)
         mine = idx == r
+        # Only the device whose turn it is scans its chunk; off-turn
+        # devices take the no-op branch (XLA cond executes one side at
+        # runtime — no masked redundant compute).
+        carry_out, ys_r = lax.cond(
+            mine,
+            lambda c: lax.scan(step, c, xs_local),
+            lambda c: (c, ys),
+            carry_in,
+        )
         ys = select(mine, ys_r, ys)
         done_carry = select(mine, carry_out, carry_in)
         # Relay the finished carry one step around the ring; device r+1

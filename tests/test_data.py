@@ -182,3 +182,107 @@ def test_make_dataset_synthetic():
     batch = next(it)
     assert batch.shape == (2, 16, 4, 16, 1)
     assert test.shape == (2, 16, 4, 16, 1)
+
+
+# ---------------------------------------------------------------------------
+# Streaming pipeline combinators (tf.data-equivalent semantics:
+# shuffle buffer, cycle/block interleave, ordered parallel decode).
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_stream_is_seeded_permutation():
+    from kccotgan_tpu.data.pipeline import shuffle_stream
+
+    src = list(range(50))
+    out = list(shuffle_stream(iter(src), 10, seed=3))
+    assert sorted(out) == src          # nothing lost or duplicated
+    assert out != src                  # actually shuffled
+    out2 = list(shuffle_stream(iter(src), 10, seed=3))
+    assert out == out2                 # deterministic under a seed
+
+
+def test_interleave_cycle_block_order():
+    from kccotgan_tpu.data.pipeline import interleave
+
+    # Three sources of 4 items; cycle 2, block 2 => round-robin blocks
+    # of 2 between the two open slots, refilling from the third.
+    sources = {"a": ["a0", "a1", "a2", "a3"], "b": ["b0", "b1", "b2", "b3"],
+               "c": ["c0", "c1", "c2", "c3"]}
+    out = list(interleave(iter("abc"), lambda k: iter(sources[k]),
+                          cycle_length=2, block_length=2))
+    assert out == ["a0", "a1", "b0", "b1", "a2", "a3", "b2", "b3",
+                   "c0", "c1", "c2", "c3"]
+    assert sorted(out) == sorted(sum(sources.values(), []))
+
+
+def test_parallel_map_preserves_order():
+    from kccotgan_tpu.data.pipeline import parallel_map
+
+    got = list(parallel_map(lambda x: x * x, range(40), workers=4))
+    assert got == [x * x for x in range(40)]
+
+
+def test_generator_dataset_shuffle_buffer():
+    from kccotgan_tpu.data.pipeline import GeneratorDataset
+
+    def factory():
+        for i in range(12):
+            yield np.full((2, 2), i, np.float32)
+
+    ds = GeneratorDataset(factory, batch_size=1, shuffle_buffer=12, seed=0)
+    shuffled = [int(b[0, 0, 0]) for b in ds.repeat(1, shuffle=True)]
+    plain = [int(b[0, 0, 0]) for b in ds.repeat(1, shuffle=False)]
+    assert plain == list(range(12))
+    assert sorted(shuffled) == plain and shuffled != plain
+
+
+def test_gqn_reader_interleaves_files(tmp_path):
+    """Records must alternate across concurrently-open shards (the
+    tf.data interleave(cycle=4, block=16) behavior, `data_utils.py:420`)."""
+    from kccotgan_tpu.data.gqn import GQN_DATASETS, GqnReader, gqn_record_files
+
+    info = GQN_DATASETS["shepard_metzler_5_parts"]
+    files = gqn_record_files(info, "train", str(tmp_path))
+    values = [30, 220]  # constant-intensity JPEG per shard -> identifiable
+    for f, v in zip(files[:2], values):
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(np.full((8, 8, 3), v, np.uint8)).save(buf, "JPEG")
+        rec = encode_example({"frames": [buf.getvalue()] * info.sequence_size})
+        write_tfrecord(f, [rec, rec])
+
+    reader = GqnReader(
+        "shepard_metzler_5_parts", time_steps=2, root=str(tmp_path),
+        custom_frame_size=8, shuffle_files=False,
+        cycle_length=2, block_length=1, decode_workers=2,
+    )
+    it = reader.samples()
+    means = [float(next(it).mean()) * 255 for _ in range(4)]
+    # block_length=1 round-robin: shard0, shard1, shard0, shard1
+    assert abs(means[0] - means[2]) < 10 and abs(means[1] - means[3]) < 10
+    assert abs(means[0] - means[1]) > 100
+
+
+def test_gqn_reader_shuffles_file_order(tmp_path):
+    from kccotgan_tpu.data.gqn import GQN_DATASETS, GqnReader, gqn_record_files
+
+    info = GQN_DATASETS["shepard_metzler_5_parts"]
+    files = gqn_record_files(info, "train", str(tmp_path))
+    n = 8
+    for i, f in enumerate(files[:n]):
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(np.full((8, 8, 3), 20 + 25 * i, np.uint8)).save(buf, "JPEG")
+        rec = encode_example({"frames": [buf.getvalue()] * info.sequence_size})
+        write_tfrecord(f, [rec])
+
+    reader = GqnReader(
+        "shepard_metzler_5_parts", time_steps=2, root=str(tmp_path),
+        custom_frame_size=8, shuffle_files=True, shuffle_buffer=8,
+        cycle_length=1, block_length=1, decode_workers=0, seed=5,
+    )
+    it = reader.samples()
+    order = [round((float(next(it).mean()) * 255 - 20) / 25) for _ in range(n)]
+    assert order != list(range(n))   # not sequential file order

@@ -77,3 +77,34 @@ def test_kth_loader(tmp_path, rng):
     for strip in out:
         assert strip.shape == (16, t, 16, 3)
         assert strip.dtype == np.float32
+
+
+def test_kth_train_test_split(tmp_path, rng):
+    """make_dataset honors the kth/ vs kth_test/ split dirs
+    (reference `data_utils.py:163-166`, `kernel_train.py:89-98`)."""
+    pytest.importorskip("cv2")
+    from kccotgan_tpu.config import ModelConfig, TrainConfig
+    from kccotgan_tpu.data.datasets import make_dataset
+
+    t, hw = 4, 24
+    for split in ("kth", "kth_test"):
+        d = tmp_path / split / "walking"
+        d.mkdir(parents=True)
+        _write_avi(d / "person01_walking_d1.avi", 20, hw, rng)
+
+    cfg = TrainConfig(
+        dname="kth", batch_size=2, total_time_steps=t, int_time_steps=2,
+        data_path=str(tmp_path), n_epochs=1,
+        model=ModelConfig(x_height=16, x_width=16, n_channels=3),
+    )
+    train_it, test = make_dataset(cfg)
+    batch = next(train_it)
+    assert batch.shape == (2, 16, t, 16, 3)
+    assert test is not None and test.shape == (2, 16, t, 16, 3)
+
+    # without kth_test/ the test stream is absent, not an error
+    import shutil
+
+    shutil.rmtree(tmp_path / "kth_test")
+    _, test2 = make_dataset(cfg)
+    assert test2 is None
