@@ -120,3 +120,84 @@ def test_global_sinkhorn_couples_shards(batch):
     np.testing.assert_allclose(
         float(m_a["pm"]), float(m_b["pm"]), rtol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end trainer + checkpoint restore on the virtual mesh (the full
+# user path: Trainer(cfg, mesh), cli --num_devices 8, save -> restore ->
+# replicate -> resume).
+# ---------------------------------------------------------------------------
+
+
+def test_trainer_fit_on_mesh(tmp_path):
+    from kccotgan_tpu.parallel import batch_sharding
+    from kccotgan_tpu.train import Trainer
+
+    cfg = _cfg(out_dir=str(tmp_path), run_name="mesh_e2e", n_epochs=4)
+    mesh = make_mesh(8)
+    data = bouncing_blobs(cfg.batch_size, cfg.total_time_steps, 16, 16, seed=7)
+    from kccotgan_tpu.data import ArrayDataset
+
+    ds = ArrayDataset(np.asarray(data), cfg.batch_size, seed=0)
+    trainer = Trainer(cfg, mesh=mesh)
+    state, summary = trainer.fit(
+        ds.repeat(4), max_steps=3, data_sharding=batch_sharding(mesh)
+    )
+    assert summary["status"] == "completed"
+    assert summary["steps"] == 3
+    assert int(jax.device_get(state.step)) == 3
+
+
+def test_checkpoint_restore_under_mesh(tmp_path, batch):
+    """Save a mesh-replicated state, restore into a fresh template,
+    re-replicate, and resume training — exact array round-trip."""
+    from kccotgan_tpu.ckpt import restore_checkpoint, save_checkpoint
+
+    cfg = _cfg(global_batch_sinkhorn=True)
+    mods = GanModules(cfg)
+    mesh = make_mesh(8)
+    step_fn = build_sharded_train_step(cfg, mods, mesh)
+    state = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    state, _ = step_fn(state, shard_batch(batch, mesh))
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, jax.device_get(state), 1)
+
+    template = create_train_state(cfg, jax.random.PRNGKey(99))
+    restored = restore_checkpoint(ckpt_dir, template)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state)),
+        jax.tree_util.tree_leaves(restored),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    resumed = replicate_state(restored, mesh)
+    resumed, metrics = step_fn(resumed, shard_batch(batch, mesh))
+    assert int(jax.device_get(resumed.step)) == 2
+    assert np.isfinite(float(metrics["sinkhorn_loss"]))
+
+
+def test_cli_num_devices_mesh(tmp_path):
+    """cli/main.py --num_devices 8 drives the full mesh path."""
+    from kccotgan_tpu.cli.main import main
+
+    rc = main([
+        "--dname", "synthetic",
+        "--batch_size", "8",
+        "--total_time_steps", "5",
+        "--int_time_steps", "3",
+        "--sinkhorn_l", "5",
+        "--g_filter_size", "2", "--d_filter_size", "2",
+        "--g_state_size", "3", "--d_state_size", "3",
+        "--z_channels", "4",
+        "--height", "16", "--width", "16",
+        "--n_epochs", "2",
+        "--max_steps", "2",
+        "--save_freq", "100",
+        "--num_devices", "8",
+        "--out_dir", str(tmp_path),
+        "--run_name", "cli_mesh",
+        "--compile_cache", "",
+        "--no_batch_norm",
+    ])
+    assert rc == 0
