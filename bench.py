@@ -28,16 +28,30 @@ import time
 REF_V100_FRAMES_PER_SEC = 30.0  # generous estimate, see module docstring
 
 
+# Repeatable benchmark configurations (PARITY.md perf table rows).
+# 'default' is the flagship the driver records; the others are the
+# BASELINE.json configs #3 (RGB mazes-shaped) and #5 (long horizon).
+BENCH_CONFIGS = {
+    "default": dict(batch=32, time_steps=20, context=10, channels=1),
+    "mazes_rgb": dict(batch=8, time_steps=15, context=5, channels=3),
+    "long_horizon": dict(batch=32, time_steps=30, context=5, channels=1),
+}
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--time-steps", type=int, default=20)
-    p.add_argument("--context", type=int, default=10)
+    p.add_argument("--config", default="default", choices=sorted(BENCH_CONFIGS),
+                   help="named benchmark shape (overridable by the flags below)")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--time-steps", type=int, default=None)
+    p.add_argument("--context", type=int, default=None)
+    p.add_argument("--channels", type=int, default=None)
     p.add_argument("--no-cache", action="store_true")
     p.add_argument(
-        "--solver", default="scan", choices=["scan", "pallas"],
-        help="Sinkhorn solver for the training step",
+        "--solver", default="auto", choices=["auto", "scan", "pallas"],
+        help="Sinkhorn solver for the training step ('auto': fused "
+             "Pallas kernel on TPU, XLA scan elsewhere)",
     )
     p.add_argument(
         "--dtype", default="float32", choices=["float32", "bfloat16"],
@@ -47,6 +61,11 @@ def main() -> int:
     p.add_argument("--unroll", type=int, default=1,
                    help="lax.scan unroll factor for ConvLSTM/LSTM scans")
     args = p.parse_args()
+
+    shape = BENCH_CONFIGS[args.config]
+    for field in ("batch", "time_steps", "context", "channels"):
+        if getattr(args, field) is None:
+            setattr(args, field, shape[field])
 
     if not args.no_cache:
         os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
@@ -71,11 +90,12 @@ def main() -> int:
         sinkhorn_solver=args.solver,
         compute_dtype=args.dtype,
         scan_unroll=args.unroll,
-        model=ModelConfig(x_height=64, x_width=64, n_channels=1),
+        model=ModelConfig(x_height=64, x_width=64, n_channels=args.channels),
     )
     print(
-        f"# bench: device={jax.devices()[0]} batch={args.batch} "
-        f"T={args.time_steps} (ctx {args.context}) L={cfg.sinkhorn_l}",
+        f"# bench[{args.config}]: device={jax.devices()[0]} batch={args.batch} "
+        f"T={args.time_steps} (ctx {args.context}) C={args.channels} "
+        f"L={cfg.sinkhorn_l}",
         file=sys.stderr,
     )
 
@@ -83,7 +103,8 @@ def main() -> int:
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step_fn = build_train_step(cfg, mods)
     batch = jnp.array(
-        bouncing_blobs(args.batch, args.time_steps, 64, 64, seed=0)
+        bouncing_blobs(args.batch, args.time_steps, 64, 64,
+                       channels=args.channels, seed=0)
     )
 
     # NOTE: under the axon remote-TPU runtime, block_until_ready can
@@ -118,8 +139,9 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "training frames/sec/chip (MMNIST 64x64, B=%d, T=%d, full step)"
-                % (args.batch, args.time_steps),
+                "metric": "training frames/sec/chip (%s 64x64, B=%d, T=%d, C=%d, full step)"
+                % ("MMNIST" if args.config == "default" else args.config,
+                   args.batch, args.time_steps, args.channels),
                 "value": round(frames_per_sec, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(frames_per_sec / REF_V100_FRAMES_PER_SEC, 2),

@@ -69,8 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-device Sinkhorn (approx) instead of exact global batch")
     p.add_argument("--cost_method", type=str, default="gram",
                    choices=["gram", "exact"])
-    p.add_argument("--solver", type=str, default="scan",
-                   choices=["scan", "pallas"])
+    p.add_argument("--solver", type=str, default="auto",
+                   choices=["auto", "scan", "pallas"])
     p.add_argument("--compile_cache", type=str, default=".jax_cache")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],

@@ -62,7 +62,9 @@ class TrainConfig:
     scaling_coef: float = 15.0  # effective multiplier is 1/this
     reg_penalty: float = 1.0
     cost_method: str = "gram"  # 'gram' (MXU) or 'exact' (reference order)
-    sinkhorn_solver: str = "scan"  # 'scan' (XLA loop) or 'pallas' (fused kernel)
+    # 'auto' = fused Pallas kernel on TPU, XLA scan elsewhere (the
+    # kernel wins every measured standalone regime — PARITY.md table).
+    sinkhorn_solver: str = "auto"
 
     # kernel smoothing
     kernel: str = "none"  # {'1d','2d','3d','none'}

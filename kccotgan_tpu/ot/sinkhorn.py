@@ -255,7 +255,7 @@ def compute_sinkhorn_loss(
     epsilon: float = _DEFAULT_EPS,
     num_iters: int = _DEFAULT_L,
     cost_method: str = "gram",
-    solver: str = "scan",
+    solver: str = "auto",
     grad: str = "unrolled",
 ) -> jnp.ndarray:
     """Mixed causal-Sinkhorn divergence ``2*W(x,y) - W(x,x) - W(y,y)``.
@@ -264,11 +264,19 @@ def compute_sinkhorn_loss(
     (``epsilon=1.0, num_iters=100`` — see module docstring).
 
     ``solver='pallas'`` routes the three solves through the fused Pallas
-    TPU kernel (cost matrices resident in VMEM for all L iterations).
+    TPU kernel (cost matrices resident in VMEM for all L iterations);
+    it beats the scan solver standalone in every measured (B, L) regime
+    (PARITY.md solver table — up to 2.3x on fwd+grad).  ``'auto'`` (the
+    default) picks pallas on a TPU backend and scan elsewhere (the
+    kernel would run in slow interpret mode off-TPU).
     """
     if video:
         f_real = flatten_video(f_real)
         f_fake = flatten_video(f_fake)
+    if solver == "auto":
+        import jax
+
+        solver = "pallas" if jax.default_backend() == "tpu" else "scan"
     if solver == "pallas":
         from .pallas_sinkhorn import mixed_sinkhorn_pallas
 

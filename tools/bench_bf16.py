@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""bf16-vs-f32 training-parity run on the real TPU (PARITY.md evidence).
+
+Trains the flagship MMNIST-64 configuration twice from the same init
+and data stream — compute_dtype float32 vs bfloat16 (MXU conv/matmul
+inputs only; params, gate math, Sinkhorn all stay f32) — and records
+both loss curves.  The decision rule: flip the bf16 default only if the
+curves track within run-to-run noise.
+
+Emits one JSON line with both curves and summary stats.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--time-steps", type=int, default=20)
+    p.add_argument("--context", type=int, default=10)
+    p.add_argument("--log-every", type=int, default=10)
+    args = p.parse_args()
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+    )
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from kccotgan_tpu.config import ModelConfig, TrainConfig
+    from kccotgan_tpu.data import ArrayDataset, bouncing_blobs
+    from kccotgan_tpu.train import GanModules, build_train_step, create_train_state
+
+    data = bouncing_blobs(max(4 * args.batch, 128), args.time_steps, 64, 64, seed=0)
+
+    curves = {}
+    times = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = TrainConfig(
+            dname="mmnist",
+            batch_size=args.batch,
+            total_time_steps=args.time_steps,
+            int_time_steps=args.context,
+            sinkhorn_l=100,
+            compute_dtype=dtype,
+            model=ModelConfig(x_height=64, x_width=64, n_channels=1),
+        )
+        mods = GanModules(cfg)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step_fn = build_train_step(cfg, mods)
+        ds = ArrayDataset(np.asarray(data), args.batch, seed=1)
+        curve = []
+        it = ds.repeat(10_000)
+        t0 = None
+        for i in range(args.steps):
+            batch = jnp.array(next(it))
+            state, metrics = step_fn(state, batch)
+            if i == 0:
+                float(metrics["sinkhorn_loss"])  # sync past compile
+                t0 = time.perf_counter()
+            if (i + 1) % args.log_every == 0:
+                curve.append(round(float(metrics["sinkhorn_loss"]), 5))
+        dt = (time.perf_counter() - t0) / (args.steps - 1)
+        curves[dtype] = curve
+        times[dtype] = round(dt * 1e3, 2)
+        print(f"# {dtype}: {dt*1e3:.1f} ms/step, final loss {curve[-1]}", file=sys.stderr)
+
+    a = np.array(curves["float32"])
+    b = np.array(curves["bfloat16"])
+    tail = max(len(a) // 2, 1)
+    print(
+        json.dumps(
+            {
+                "steps": args.steps,
+                "log_every": args.log_every,
+                "ms_per_step": times,
+                "final_loss": {"float32": float(a[-1]), "bfloat16": float(b[-1])},
+                "tail_mean_loss": {
+                    "float32": round(float(a[-tail:].mean()), 5),
+                    "bfloat16": round(float(b[-tail:].mean()), 5),
+                },
+                "max_abs_curve_gap": round(float(np.max(np.abs(a - b))), 5),
+                "curves": curves,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
