@@ -54,9 +54,10 @@ def main() -> int:
              "Pallas kernel on TPU, XLA scan elsewhere)",
     )
     p.add_argument(
-        "--dtype", default="float32", choices=["float32", "bfloat16"],
+        "--dtype", default="bfloat16", choices=["float32", "bfloat16"],
         help="MXU compute precision for model convs/matmuls "
-             "(params + Sinkhorn stay f32)",
+             "(params + Sinkhorn stay f32; bf16 training-parity "
+             "validated in PARITY.md)",
     )
     p.add_argument("--unroll", type=int, default=1,
                    help="lax.scan unroll factor for ConvLSTM/LSTM scans")

@@ -72,9 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--solver", type=str, default="auto",
                    choices=["auto", "scan", "pallas"])
     p.add_argument("--compile_cache", type=str, default=".jax_cache")
-    p.add_argument("--compute_dtype", type=str, default="float32",
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"],
-                   help="MXU input precision for model convs/matmuls")
+                   help="MXU input precision for model convs/matmuls "
+                        "(training-parity validated; PARITY.md)")
     p.add_argument("--profile_steps", type=str, default="",
                    help="'start,stop' step window to capture an XLA trace "
                         "into <run_dir>/profile (e.g. '5,8')")

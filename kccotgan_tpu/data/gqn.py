@@ -100,7 +100,7 @@ class GqnReader:
         shuffle_buffer: int = 100,
         cycle_length: int = 4,
         block_length: int = 16,
-        decode_workers: int = 4,
+        decode_workers: int | None = None,
     ):
         if dataset not in GQN_DATASETS:
             raise ValueError(
@@ -121,6 +121,12 @@ class GqnReader:
         self.shuffle_buffer = shuffle_buffer
         self.cycle_length = cycle_length
         self.block_length = block_length
+        if decode_workers is None:
+            # A pool only helps when cores are free to run it: on a
+            # 1-core host the dispatch overhead makes it a net LOSS
+            # (measured: 264 -> 212 videos/s, tools/bench_decode.py).
+            ncpu = os.cpu_count() or 1
+            decode_workers = 4 if ncpu >= 4 else (0 if ncpu == 1 else ncpu)
         self.decode_workers = decode_workers
         self._rng = random.Random(seed)
 

@@ -27,6 +27,11 @@ def _cfg(**kw) -> TrainConfig:
     base = dict(
         dname="synthetic",
         batch_size=8,
+        # f32 pinned: the sharded-vs-single-device equality these tests
+        # assert is an f32 bit-level property; bf16 conv rounding differs
+        # across batch tilings and 100 Sinkhorn iters amplify it.  bf16
+        # statistical parity is validated separately (PARITY.md).
+        compute_dtype="float32",
         total_time_steps=5,
         int_time_steps=3,
         sinkhorn_l=10,

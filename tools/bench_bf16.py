@@ -26,6 +26,11 @@ def main() -> int:
     p.add_argument("--time-steps", type=int, default=20)
     p.add_argument("--context", type=int, default=10)
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--init-seed", type=int, default=0,
+                   help="param-init PRNG seed (vary for a same-dtype "
+                        "run-to-run noise baseline)")
+    p.add_argument("--dtypes", default="float32,bfloat16",
+                   help="comma-separated compute dtypes to run")
     args = p.parse_args()
 
     os.environ.setdefault(
@@ -48,7 +53,7 @@ def main() -> int:
 
     curves = {}
     times = {}
-    for dtype in ("float32", "bfloat16"):
+    for dtype in args.dtypes.split(","):
         cfg = TrainConfig(
             dname="mmnist",
             batch_size=args.batch,
@@ -59,7 +64,7 @@ def main() -> int:
             model=ModelConfig(x_height=64, x_width=64, n_channels=1),
         )
         mods = GanModules(cfg)
-        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        state = create_train_state(cfg, jax.random.PRNGKey(args.init_seed))
         step_fn = build_train_step(cfg, mods)
         ds = ArrayDataset(np.asarray(data), args.batch, seed=1)
         curve = []
@@ -78,25 +83,22 @@ def main() -> int:
         times[dtype] = round(dt * 1e3, 2)
         print(f"# {dtype}: {dt*1e3:.1f} ms/step, final loss {curve[-1]}", file=sys.stderr)
 
-    a = np.array(curves["float32"])
-    b = np.array(curves["bfloat16"])
-    tail = max(len(a) // 2, 1)
-    print(
-        json.dumps(
-            {
-                "steps": args.steps,
-                "log_every": args.log_every,
-                "ms_per_step": times,
-                "final_loss": {"float32": float(a[-1]), "bfloat16": float(b[-1])},
-                "tail_mean_loss": {
-                    "float32": round(float(a[-tail:].mean()), 5),
-                    "bfloat16": round(float(b[-tail:].mean()), 5),
-                },
-                "max_abs_curve_gap": round(float(np.max(np.abs(a - b))), 5),
-                "curves": curves,
-            }
-        )
-    )
+    out = {
+        "steps": args.steps,
+        "log_every": args.log_every,
+        "init_seed": args.init_seed,
+        "ms_per_step": times,
+        "final_loss": {k: float(v[-1]) for k, v in curves.items()},
+        "tail_mean_loss": {
+            k: round(float(np.array(v)[-max(len(v) // 2, 1):].mean()), 5)
+            for k, v in curves.items()
+        },
+        "curves": curves,
+    }
+    if len(curves) == 2:
+        a, b = (np.array(v) for v in curves.values())
+        out["max_abs_curve_gap"] = round(float(np.max(np.abs(a - b))), 5)
+    print(json.dumps(out))
     return 0
 
 
