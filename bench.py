@@ -61,6 +61,11 @@ def main() -> int:
     )
     p.add_argument("--unroll", type=int, default=1,
                    help="lax.scan unroll factor for ConvLSTM/LSTM scans")
+    p.add_argument("--remat-policy", default="carry_only",
+                   choices=["carry_only", "save_recurrent"],
+                   help="scan-body checkpoint policy (save_recurrent "
+                        "keeps recurrent conv outputs, recomputes only "
+                        "gate math in backward)")
     args = p.parse_args()
 
     shape = BENCH_CONFIGS[args.config]
@@ -91,6 +96,7 @@ def main() -> int:
         sinkhorn_solver=args.solver,
         compute_dtype=args.dtype,
         scan_unroll=args.unroll,
+        scan_remat_policy=args.remat_policy,
         model=ModelConfig(x_height=64, x_width=64, n_channels=args.channels),
     )
     print(

@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="MXU input precision for model convs/matmuls "
                         "(training-parity validated; PARITY.md)")
+    p.add_argument("--remat_policy", type=str, default="carry_only",
+                   choices=["carry_only", "save_recurrent"],
+                   help="scan-body checkpoint policy (HBM vs recompute)")
     p.add_argument("--profile_steps", type=str, default="",
                    help="'start,stop' step window to capture an XLA trace "
                         "into <run_dir>/profile (e.g. '5,8')")
@@ -133,6 +136,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         cost_method=args.cost_method,
         sinkhorn_solver=args.solver,
         compute_dtype=args.compute_dtype,
+        scan_remat_policy=args.remat_policy,
         kernel=args.kernel,
         init_sigma=args.init_sigma,
         decaying_sigma=args.decaying_sigma,

@@ -103,6 +103,11 @@ class TrainConfig:
     # recurrence compilation
     scan_remat: bool = True  # checkpoint scan bodies (residual HBM traffic
     #   dominates the step; recompute of the gate math is cheaper)
+    # 'carry_only': backward recomputes the whole scan body (min HBM);
+    # 'save_recurrent': also save the recurrent conv/matmul outputs so
+    # backward recomputes only gate math (HBM-vs-FLOPs tradeoff;
+    # mathematically identical — models/layers.py::_remat).
+    scan_remat_policy: str = "carry_only"
     scan_unroll: int = 1     # lax.scan unroll factor for ConvLSTM/LSTM
 
     # Run the 4 discriminator passes (h/m x real/fake) as ONE vmapped

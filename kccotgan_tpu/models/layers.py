@@ -34,6 +34,27 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
+
+
+def _remat(step, policy_name: str, saved_name: str):
+    """Wrap a scan body in jax.checkpoint under the given policy.
+
+    ``'carry_only'`` saves nothing but the carry — the backward pass
+    recomputes the whole body, including the recurrent conv/matmul
+    (minimum HBM, maximum recompute FLOPs).  ``'save_recurrent'`` also
+    saves the tagged recurrent-projection output (``saved_name``), so
+    the backward pass recomputes only the cheap elementwise gate math —
+    it trades [T, B, H', W', 4f] of HBM for skipping the single
+    FLOPs-heavy op in the recompute.  Which wins is a pure
+    bandwidth-vs-FLOPs tradeoff; both are mathematically identical.
+    """
+    policy = None
+    if policy_name == "save_recurrent":
+        policy = jax.checkpoint_policies.save_only_these_names(saved_name)
+    elif policy_name != "carry_only":
+        raise ValueError(f"unknown remat policy: {policy_name!r}")
+    return jax.checkpoint(step, prevent_cse=False, policy=policy)
 
 __all__ = [
     "ConvLSTM2D",
@@ -112,7 +133,8 @@ class ConvLSTM2D(nn.Module):
     dropout: float = 0.0
     recurrent_dropout: float = 0.0
     compute_dtype: str = "float32"
-    remat: bool = False      # checkpoint the scan body: save only (h, c)
+    remat: bool = False      # checkpoint the scan body
+    remat_policy: str = "carry_only"  # see _remat
     unroll: int = 1          # lax.scan unroll factor
     # Sequence parallelism: when set, the time axis of ``x_seq`` is a
     # SHARD of a global sequence distributed over this mesh axis, and
@@ -214,6 +236,7 @@ class ConvLSTM2D(nn.Module):
                     kg = rec_kernel[..., g * f : (g + 1) * f]
                     parts.append(_same_conv(h_prev * rec_masks[g], kg, (1, 1), cdt))
                 rconv = jnp.concatenate(parts, axis=-1)
+            rconv = checkpoint_name(rconv, "rconv")
             z = xt + rconv
             zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
             i = rec_act(zi)
@@ -226,8 +249,8 @@ class ConvLSTM2D(nn.Module):
         if self.remat:
             # The scan's saved residuals ([T, B, H', W', ~10f] activation
             # stacks) dominate HBM traffic; checkpointing trades them for
-            # a cheap recompute of the gate math in the backward pass.
-            step = jax.checkpoint(step, prevent_cse=False)
+            # recompute in the backward pass (policy controls how much).
+            step = _remat(step, self.remat_policy, "rconv")
 
         if initial_state is None:
             h0 = jnp.zeros((b, ho, wo, f), dtype=xconv.dtype)
@@ -263,6 +286,7 @@ class LSTM(nn.Module):
     unit_forget_bias: bool = True
     compute_dtype: str = "float32"
     remat: bool = False
+    remat_policy: str = "carry_only"  # see _remat
     unroll: int = 1
     seq_axis: str | None = None  # same contract as ConvLSTM2D.seq_axis
 
@@ -301,10 +325,14 @@ class LSTM(nn.Module):
 
         def step(carry, xt):
             h_prev, c_prev = carry
-            z = xt + lax.dot_general(
-                h_prev.astype(cdt), rec_kernel.astype(cdt),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-            ).astype(jnp.float32)
+            rproj = checkpoint_name(
+                lax.dot_general(
+                    h_prev.astype(cdt), rec_kernel.astype(cdt),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                ).astype(jnp.float32),
+                "rproj",
+            )
+            z = xt + rproj
             zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
             i = rec_act(zi)
             fg = rec_act(zf)
@@ -314,7 +342,7 @@ class LSTM(nn.Module):
             return (hh, cc), hh
 
         if self.remat:
-            step = jax.checkpoint(step, prevent_cse=False)
+            step = _remat(step, self.remat_policy, "rproj")
         h0 = jnp.zeros((b, u), dtype=xproj.dtype)
         c0 = jnp.zeros((b, u), dtype=xproj.dtype)
         if self.seq_axis is not None:

@@ -65,6 +65,7 @@ class VideoEncoder(nn.Module):
     rnn_dropout: float = 0.0
     compute_dtype: str = "float32"
     scan_remat: bool = False
+    scan_remat_policy: str = "carry_only"
     scan_unroll: int = 1
     # Sequence parallelism (SURVEY.md §2.9): when set, this encoder must
     # be applied inside shard_map with the video's TIME axis sharded
@@ -110,6 +111,7 @@ class VideoEncoder(nn.Module):
                 recurrent_dropout=self.rnn_dropout,
                 compute_dtype=self.compute_dtype,
                 remat=self.scan_remat,
+                remat_policy=self.scan_remat_policy,
                 unroll=self.scan_unroll,
                 seq_axis=self.seq_axis,
                 name=f"encoder{i + 1}",
@@ -160,6 +162,7 @@ class VideoDecoder(nn.Module):
     output_activation: str = "sigmoid"
     compute_dtype: str = "float32"
     scan_remat: bool = False
+    scan_remat_policy: str = "carry_only"
     scan_unroll: int = 1
     # Sequence parallelism: same contract as VideoEncoder.seq_axis; use
     # with ``pre_sliced=True`` (teacher-forcing [:, :-1] is a global-
@@ -216,7 +219,9 @@ class VideoDecoder(nn.Module):
                 filters=cf, kernel_size=ck, strides=(1, 1), use_bias=cbias,
                 dropout=self.dropout, recurrent_dropout=self.rnn_dropout,
                 compute_dtype=self.compute_dtype,
-                remat=self.scan_remat, unroll=self.scan_unroll,
+                remat=self.scan_remat,
+                remat_policy=self.scan_remat_policy,
+                unroll=self.scan_unroll,
                 seq_axis=self.seq_axis,
                 name=dec_name,
             )(h, training=training)
@@ -235,7 +240,9 @@ class VideoDecoder(nn.Module):
             filters=f, kernel_size=(8, 8), strides=(1, 1), use_bias=True,
             dropout=self.dropout, recurrent_dropout=self.rnn_dropout,
             compute_dtype=self.compute_dtype,
-            remat=self.scan_remat, unroll=self.scan_unroll,
+            remat=self.scan_remat,
+            remat_policy=self.scan_remat_policy,
+            unroll=self.scan_unroll,
             seq_axis=self.seq_axis,
             name="decoder5",
         )(h, training=training)
@@ -257,6 +264,7 @@ class VideoDiscriminator(nn.Module):
     use_batch_norm: bool = False
     compute_dtype: str = "float32"
     scan_remat: bool = False
+    scan_remat_policy: str = "carry_only"
     scan_unroll: int = 1
 
     @nn.compact
@@ -277,13 +285,13 @@ class VideoDiscriminator(nn.Module):
                 )(x)
             x = leaky_relu(x)
         x = x.reshape(b, t, -1)
-        x = LSTM(units=f * 8, compute_dtype=self.compute_dtype, remat=self.scan_remat, unroll=self.scan_unroll, name="lstm1")(x, training=training)
+        x = LSTM(units=f * 8, compute_dtype=self.compute_dtype, remat=self.scan_remat, remat_policy=self.scan_remat_policy, unroll=self.scan_unroll, name="lstm1")(x, training=training)
         if self.use_batch_norm:
             x = nn.BatchNorm(
                 use_running_average=not training,
                 momentum=_BN_MOMENTUM, epsilon=_BN_EPS, name="rnn_bn1",
             )(x)
-        x = LSTM(units=f * 4, compute_dtype=self.compute_dtype, remat=self.scan_remat, unroll=self.scan_unroll, name="lstm2")(x, training=training)
+        x = LSTM(units=f * 4, compute_dtype=self.compute_dtype, remat=self.scan_remat, remat_policy=self.scan_remat_policy, unroll=self.scan_unroll, name="lstm2")(x, training=training)
         if self.use_batch_norm:
             x = nn.BatchNorm(
                 use_running_average=not training,
@@ -292,6 +300,8 @@ class VideoDiscriminator(nn.Module):
         x = LSTM(
             units=self.state_size, activation="sigmoid",
             compute_dtype=self.compute_dtype,
-            remat=self.scan_remat, unroll=self.scan_unroll, name="lstm3",
+            remat=self.scan_remat,
+            remat_policy=self.scan_remat_policy,
+            unroll=self.scan_unroll, name="lstm3",
         )(x, training=training)
         return x

@@ -52,6 +52,7 @@ class GanModules:
             rnn_dropout=m.rnn_dropout,
             compute_dtype=cfg.compute_dtype,
             scan_remat=cfg.scan_remat,
+            scan_remat_policy=cfg.scan_remat_policy,
             scan_unroll=cfg.scan_unroll,
         )
         self.decoder = VideoDecoder(
@@ -65,6 +66,7 @@ class GanModules:
             output_activation=m.output_activation,
             compute_dtype=cfg.compute_dtype,
             scan_remat=cfg.scan_remat,
+            scan_remat_policy=cfg.scan_remat_policy,
             scan_unroll=cfg.scan_unroll,
         )
         disc_kwargs = dict(
@@ -73,6 +75,7 @@ class GanModules:
             use_batch_norm=m.use_norm,
             compute_dtype=cfg.compute_dtype,
             scan_remat=cfg.scan_remat,
+            scan_remat_policy=cfg.scan_remat_policy,
             scan_unroll=cfg.scan_unroll,
         )
         self.disc_h = VideoDiscriminator(**disc_kwargs)

@@ -141,3 +141,43 @@ def test_convlstm_dropout_path(rng):
     y_eval = mod.apply(params, x, training=False)
     assert y_train.shape == y_eval.shape
     assert not np.allclose(np.asarray(y_train), np.asarray(y_eval))
+
+
+@pytest.mark.parametrize("layer", ["convlstm", "lstm"])
+def test_remat_policies_identical_grads(rng, layer):
+    """remat policies are pure schedule choices: loss values and
+    gradients must be IDENTICAL across no-remat / carry_only /
+    save_recurrent (jax.checkpoint never changes math, only what the
+    backward pass recomputes vs reloads)."""
+    if layer == "convlstm":
+        x = jnp.array(rng.normal(size=(2, 4, 6, 6, 3)).astype(np.float32))
+
+        def build(remat, policy):
+            return ConvLSTM2D(
+                filters=4, kernel_size=(3, 3), remat=remat,
+                remat_policy=policy,
+            )
+    else:
+        x = jnp.array(rng.normal(size=(2, 5, 7)).astype(np.float32))
+
+        def build(remat, policy):
+            return LSTM(units=4, remat=remat, remat_policy=policy)
+
+    ref_mod = build(False, "carry_only")
+    params = ref_mod.init(jax.random.PRNGKey(0), x, training=False)
+
+    def loss_fn(mod):
+        def f(p):
+            return jnp.sum(mod.apply(p, x, training=False) ** 2)
+        return jax.value_and_grad(f)(params)
+
+    ref_loss, ref_grad = loss_fn(ref_mod)
+    for policy in ("carry_only", "save_recurrent"):
+        loss, grad = loss_fn(build(True, policy))
+        assert np.asarray(loss) == np.asarray(ref_loss), policy
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            grad, ref_grad,
+        )
