@@ -98,12 +98,17 @@ def _compute_dtype(name: str):
     raise ValueError(f"unsupported compute_dtype: {name!r}")
 
 
-def _same_conv(x, kernel, strides, dtype=jnp.float32):
+def _same_conv(x, kernel, strides, dtype=jnp.float32, out_dtype=jnp.float32):
     """NHWC 'SAME' conv (TF semantics).
 
     ``dtype`` is the MXU input precision: bfloat16 halves HBM traffic and
     doubles systolic-array throughput (params and all gate/norm math
-    remain f32 — the output is cast back immediately).
+    remain f32 — the output is cast back immediately).  ``out_dtype``
+    controls the returned precision: when the result is STREAMED through
+    HBM (the hoisted [T,B,H',W',4f] scan stacks), upcasting a bf16 conv
+    result to f32 adds zero information but doubles the bytes of the
+    biggest copies in the program (tools/hlo_report.py) — pass
+    ``out_dtype=dtype`` there and upcast at the consumer.
     """
     dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
     out = lax.conv_general_dilated(
@@ -113,7 +118,7 @@ def _same_conv(x, kernel, strides, dtype=jnp.float32):
     # Gate/norm math downstream stays f32.  (No preferred_element_type:
     # its conv transpose rule rejects mixed f32-cotangent/bf16-operand;
     # the TPU MXU accumulates in f32 internally either way.)
-    return out.astype(jnp.float32)
+    return out.astype(out_dtype)
 
 
 class ConvLSTM2D(nn.Module):
@@ -202,10 +207,15 @@ class ConvLSTM2D(nn.Module):
                 parts.append(_same_conv(xf * mg, kg, self.strides, cdt))
             xconv = jnp.concatenate(parts, axis=-1)
         else:
-            xconv = _same_conv(x_seq.reshape(b * t, h, w, c), kernel, self.strides, cdt)
-
-        if bias is not None:
-            xconv = xconv + bias
+            # Stream the hoisted stack at conv-output precision and add
+            # the bias inside the scan body instead: values are identical
+            # ((conv + bias) + rconv either way), and under bf16 it
+            # halves the program's largest HBM copies (the [T,B,H',W',4f]
+            # scan input stack and its transpose — tools/hlo_report.py).
+            xconv = _same_conv(
+                x_seq.reshape(b * t, h, w, c), kernel, self.strides, cdt,
+                out_dtype=cdt,
+            )
 
         ho, wo = xconv.shape[1], xconv.shape[2]
         # [B*T, H', W', 4f] -> [T, B, H', W', 4f] for scan
@@ -237,14 +247,20 @@ class ConvLSTM2D(nn.Module):
                     parts.append(_same_conv(h_prev * rec_masks[g], kg, (1, 1), cdt))
                 rconv = jnp.concatenate(parts, axis=-1)
             rconv = checkpoint_name(rconv, "rconv")
-            z = xt + rconv
+            xt32 = xt.astype(jnp.float32)
+            if bias is not None:
+                xt32 = xt32 + bias
+            z = xt32 + rconv
             zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
             i = rec_act(zi)
             fg = rec_act(zf)
             cc = fg * c_prev + i * act(zc)
             o = rec_act(zo)
             hh = o * act(cc)
-            return (hh, cc), hh
+            # ys streams through HBM (and one layout transpose) at
+            # compute precision; every consumer is an MXU conv that
+            # casts back down anyway.  The (h, c) carry stays f32.
+            return (hh, cc), hh.astype(cdt)
 
         if self.remat:
             # The scan's saved residuals ([T, B, H', W', ~10f] activation
@@ -253,8 +269,8 @@ class ConvLSTM2D(nn.Module):
             step = _remat(step, self.remat_policy, "rconv")
 
         if initial_state is None:
-            h0 = jnp.zeros((b, ho, wo, f), dtype=xconv.dtype)
-            c0 = jnp.zeros((b, ho, wo, f), dtype=xconv.dtype)
+            h0 = jnp.zeros((b, ho, wo, f), dtype=jnp.float32)
+            c0 = jnp.zeros((b, ho, wo, f), dtype=jnp.float32)
         else:
             h0, c0 = initial_state
         if self.seq_axis is not None:
@@ -267,7 +283,9 @@ class ConvLSTM2D(nn.Module):
             )
         else:
             carry, out = lax.scan(step, (h0, c0), xconv, unroll=self.unroll)
-        out = out.transpose(1, 0, 2, 3, 4)
+        # Transpose in compute precision, hand back f32 at the module
+        # boundary (consumers' casts fuse with this convert).
+        out = out.transpose(1, 0, 2, 3, 4).astype(jnp.float32)
         if return_state:
             return out, carry
         return out
@@ -313,13 +331,13 @@ class LSTM(nn.Module):
 
         bias = self.param("bias", bias_init, (4 * u,))
 
-        xproj = (
-            lax.dot_general(
-                x_seq.reshape(b * t, feat).astype(cdt),
-                kernel.astype(cdt),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-            ).astype(jnp.float32)
-            + bias
+        # Streamed at matmul-output precision, bias added in the body
+        # (identical values; halves the stack bytes under bf16 — same
+        # rationale as ConvLSTM2D's hoisted stack).
+        xproj = lax.dot_general(
+            x_seq.reshape(b * t, feat).astype(cdt),
+            kernel.astype(cdt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
         )
         xproj = xproj.reshape(b, t, 4 * u).transpose(1, 0, 2)
 
@@ -332,19 +350,19 @@ class LSTM(nn.Module):
                 ).astype(jnp.float32),
                 "rproj",
             )
-            z = xt + rproj
+            z = (xt.astype(jnp.float32) + bias) + rproj
             zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
             i = rec_act(zi)
             fg = rec_act(zf)
             cc = fg * c_prev + i * act(zc)
             o = rec_act(zo)
             hh = o * act(cc)
-            return (hh, cc), hh
+            return (hh, cc), hh.astype(cdt)
 
         if self.remat:
             step = _remat(step, self.remat_policy, "rproj")
-        h0 = jnp.zeros((b, u), dtype=xproj.dtype)
-        c0 = jnp.zeros((b, u), dtype=xproj.dtype)
+        h0 = jnp.zeros((b, u), dtype=jnp.float32)
+        c0 = jnp.zeros((b, u), dtype=jnp.float32)
         if self.seq_axis is not None:
             from ..parallel.seqpar import time_sharded_scan
 
@@ -353,7 +371,7 @@ class LSTM(nn.Module):
             )
         else:
             _, out = lax.scan(step, (h0, c0), xproj, unroll=self.unroll)
-        return out.transpose(1, 0, 2)
+        return out.transpose(1, 0, 2).astype(jnp.float32)
 
 
 class Conv2D(nn.Module):
