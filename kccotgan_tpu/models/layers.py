@@ -199,27 +199,35 @@ class ConvLSTM2D(nn.Module):
                 / (1.0 - self.dropout)
                 for k in keys
             ]
-            xf = x_seq.reshape(b * t, h, w, c)
+            # Time-major fold here: `tile` repeats the [B,...] mask
+            # block T times, so row j*b+i gets sample i's mask ONLY when
+            # T is the outer fold axis (a B-major fold would misalign
+            # masks across samples).
+            xf = x_seq.transpose(1, 0, 2, 3, 4).reshape(t * b, h, w, c)
             parts = []
             for g in range(4):
                 kg = kernel[..., g * f : (g + 1) * f]
                 mg = jnp.tile(masks[g], (t, 1, 1, 1))
                 parts.append(_same_conv(xf * mg, kg, self.strides, cdt))
             xconv = jnp.concatenate(parts, axis=-1)
+            ho, wo = xconv.shape[1], xconv.shape[2]
+            xconv = xconv.reshape(t, b, ho, wo, 4 * f)
         else:
             # Stream the hoisted stack at conv-output precision and add
             # the bias inside the scan body instead: values are identical
             # ((conv + bias) + rconv either way), and under bf16 it
             # halves the program's largest HBM copies (the [T,B,H',W',4f]
             # scan input stack and its transpose — tools/hlo_report.py).
+            # (A time-major fold that transposes the small input instead
+            # was measured SLOWER end-to-end: 169.0 vs 161.5 ms — XLA
+            # lays out the B-major fold + output transpose better.)
             xconv = _same_conv(
                 x_seq.reshape(b * t, h, w, c), kernel, self.strides, cdt,
                 out_dtype=cdt,
             )
-
-        ho, wo = xconv.shape[1], xconv.shape[2]
-        # [B*T, H', W', 4f] -> [T, B, H', W', 4f] for scan
-        xconv = xconv.reshape(b, t, ho, wo, 4 * f).transpose(1, 0, 2, 3, 4)
+            ho, wo = xconv.shape[1], xconv.shape[2]
+            # [B*T, H', W', 4f] -> [T, B, H', W', 4f] for scan
+            xconv = xconv.reshape(b, t, ho, wo, 4 * f).transpose(1, 0, 2, 3, 4)
 
         if use_rec_dropout:
             rng = self.make_rng("dropout")
