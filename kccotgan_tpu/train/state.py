@@ -113,11 +113,20 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array) -> TrainState:
     b, t = cfg.batch_size, cfg.total_time_steps
     dummy_video = jnp.zeros((b, m.x_height, t, m.x_width, m.n_channels), jnp.float32)
     k_enc, k_dec, k_h, k_m, k_state = jax.random.split(rng, 5)
+    # Dropout-mask keys for the training=True traces below (needed when
+    # cfg.model.(rnn_)dropout > 0; no-ops otherwise).  Derived by fold_in
+    # so the 5-way split above — and thus all param init values — stays
+    # identical to dropout-free configs.
+    kd_enc, kd_dec = jax.random.split(jax.random.fold_in(rng, 0xD0))
 
     enc_vars = mods.encoder.init(k_enc, dummy_video, training=False)
-    pyramid = mods.encoder.apply(enc_vars, dummy_video, training=True)
+    pyramid = mods.encoder.apply(
+        enc_vars, dummy_video, training=True, rngs={"dropout": kd_enc}
+    )
     z = jnp.zeros(mods.z_shape(b, cfg.pred_time_steps), jnp.float32)
-    dec_vars = mods.decoder.init(k_dec, pyramid, z, training=True)
+    dec_vars = mods.decoder.init(
+        {"params": k_dec, "dropout": kd_dec}, pyramid, z, training=True
+    )
     h_vars = mods.disc_h.init(k_h, dummy_video, training=False)
     m_vars = mods.disc_m.init(k_m, dummy_video, training=False)
 

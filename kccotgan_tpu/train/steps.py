@@ -49,18 +49,47 @@ def gan_forward(
     real_data: jnp.ndarray,
     z: jnp.ndarray,
     sigma,
+    dropout_rng: jax.Array | None = None,
+    encode: Callable | None = None,
+    decode: Callable | None = None,
 ):
     """One full forward pass: encode, decode (teacher forcing), smooth,
-    discriminate, mixed Sinkhorn + pM.  Returns (loss, pm, new_stats)."""
+    discriminate, mixed Sinkhorn + pM.  Returns (loss, pm, new_stats).
+
+    ``dropout_rng`` seeds the Keras-style (rnn_)dropout masks in the
+    encoder/decoder ConvLSTM stacks (`/root/reference/gan.py:40-41,
+    57-62` via `kernel_train.py:393-395`); required when
+    ``cfg.model.dropout>0`` or ``cfg.model.rnn_dropout>0``.
+
+    ``encode(params, video, rngs) -> pyramid`` / ``decode(params,
+    pyramid, z, rngs) -> frames`` override the generator forwards —
+    the hook the sequence-parallel train step uses to route them
+    through the ring-relay time-sharded wrappers (parallel/seqtrain.py)
+    while everything else (smoothing, discriminators, loss) stays
+    shared.
+    """
     tc = cfg.int_time_steps
     real_in = real_data[:, :, :tc]
 
-    pyramid = mods.encoder.apply(
-        {"params": enc_params}, real_data, training=True
-    )
-    fake_pred = mods.decoder.apply(
-        {"params": dec_params}, pyramid, z, training=True
-    )
+    if dropout_rng is not None:
+        k_enc_d, k_dec_d = jax.random.split(dropout_rng)
+        enc_rngs = {"dropout": k_enc_d}
+        dec_rngs = {"dropout": k_dec_d}
+    else:
+        enc_rngs = dec_rngs = None
+
+    if encode is None:
+        pyramid = mods.encoder.apply(
+            {"params": enc_params}, real_data, training=True, rngs=enc_rngs
+        )
+    else:
+        pyramid = encode(enc_params, real_data, enc_rngs)
+    if decode is None:
+        fake_pred = mods.decoder.apply(
+            {"params": dec_params}, pyramid, z, training=True, rngs=dec_rngs
+        )
+    else:
+        fake_pred = decode(dec_params, pyramid, z, dec_rngs)
     fake = jnp.concatenate([real_in, fake_pred], axis=2)
 
     real_s = apply_smoothing(
@@ -160,6 +189,8 @@ def build_train_step(
     jit: bool = True,
     donate: bool | None = None,
     axis_name: str | None = None,
+    encode: Callable | None = None,
+    decode: Callable | None = None,
 ) -> Callable[[TrainState, jnp.ndarray], tuple[TrainState, dict[str, jnp.ndarray]]]:
     """Returns ``train_step(state, real_data) -> (state, metrics)``.
 
@@ -180,13 +211,25 @@ def build_train_step(
     def pmean(x):
         return jax.lax.pmean(x, axis_name) if axis_name is not None else x
 
+    # Dropout masks need a PRNG stream; the split count is gated so the
+    # default (dropout=0) path draws the exact same z keys as before.
+    needs_dropout = cfg.model.dropout > 0.0 or cfg.model.rnn_dropout > 0.0
+
     def train_step(state: TrainState, real_data: jnp.ndarray):
-        rng, k_disc, k_gen = jax.random.split(state.rng, 3)
+        if needs_dropout:
+            rng, k_disc, k_gen, kd_disc, kd_gen = jax.random.split(state.rng, 5)
+        else:
+            rng, k_disc, k_gen = jax.random.split(state.rng, 3)
+            kd_disc = kd_gen = None
         if axis_name is not None:
             # independent z per device shard
             idx = jax.lax.axis_index(axis_name)
             k_disc = jax.random.fold_in(k_disc, idx)
             k_gen = jax.random.fold_in(k_gen, idx)
+            if needs_dropout:
+                # independent dropout masks per shard (per-sample masks)
+                kd_disc = jax.random.fold_in(kd_disc, idx)
+                kd_gen = jax.random.fold_in(kd_gen, idx)
         z_shape = mods.z_shape(real_data.shape[0], z_time)
 
         if cfg.decaying_sigma:
@@ -202,7 +245,8 @@ def build_train_step(
             loss, pm, h_stats, m_stats = gan_forward(
                 mods, cfg, state.enc_params, state.dec_params,
                 h_params, m_params, state.h_stats, state.m_stats,
-                real_data, z1, sigma,
+                real_data, z1, sigma, dropout_rng=kd_disc,
+                encode=encode, decode=decode,
             )
             return -loss + pm, (loss, pm, h_stats, m_stats)
 
@@ -224,7 +268,8 @@ def build_train_step(
             loss, _, hs, ms = gan_forward(
                 mods, cfg, enc_params, dec_params,
                 h_params, m_params, h_stats, m_stats,
-                real_data, z2, sigma,
+                real_data, z2, sigma, dropout_rng=kd_gen,
+                encode=encode, decode=decode,
             )
             return loss, (hs, ms)
 

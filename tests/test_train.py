@@ -153,6 +153,110 @@ def test_train_step_bfloat16_compute(tiny_batch):
     np.testing.assert_allclose(losses["bfloat16"], losses["float32"], rtol=0.2)
 
 
+def test_train_step_with_dropout(tiny_batch):
+    """The --dropout/--rnn_dropout training path (reference `gan.py:
+    40-41,57-62` via `kernel_train.py:393-395`).  Round-2 VERDICT bug:
+    no PRNG was threaded, so any dropout>0 config crashed at state
+    creation with InvalidRngError.  Pins: state creation + N finite
+    train steps, determinism under a fixed rng, and that the masks
+    actually engage (different dropout rng => different loss)."""
+    import dataclasses
+
+    from kccotgan_tpu.train.steps import gan_forward
+
+    cfg = dataclasses.replace(
+        TINY,
+        model=dataclasses.replace(TINY.model, dropout=0.3, rnn_dropout=0.3),
+    )
+    mods = GanModules(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(11))
+    step_fn = build_train_step(cfg, mods, jit=True, donate=False)
+    batch = jnp.array(tiny_batch)
+
+    s1, m1 = step_fn(state, batch)
+    s2, m2 = step_fn(s1, batch)
+    assert np.isfinite(float(m1["sinkhorn_loss"]))
+    assert np.isfinite(float(m2["sinkhorn_loss"]))
+    assert np.isfinite(float(m2["pm"]))
+    assert int(s2.step) == 2
+
+    # determinism: same state + batch -> bit-identical metrics
+    _, m1b = step_fn(state, batch)
+    assert float(m1["sinkhorn_loss"]) == float(m1b["sinkhorn_loss"])
+
+    # masks engage: same params/z, different dropout rng -> different loss
+    z = jax.random.normal(
+        jax.random.PRNGKey(9), mods.z_shape(cfg.batch_size, cfg.pred_time_steps)
+    )
+    losses = []
+    for dk in (jax.random.PRNGKey(0), jax.random.PRNGKey(1)):
+        loss, _, _, _ = gan_forward(
+            mods, cfg, state.enc_params, state.dec_params,
+            state.h_params, state.m_params, state.h_stats, state.m_stats,
+            batch, z, jnp.float32(cfg.init_sigma), dropout_rng=dk,
+        )
+        losses.append(float(loss))
+    assert losses[0] != losses[1]
+
+    # inference rollout ignores dropout (training=False) and must run
+    rollout = build_rollout(cfg, mods)
+    ctx = batch[:, :, : cfg.int_time_steps]
+    video = rollout(state, ctx, jax.random.PRNGKey(5))
+    assert np.isfinite(np.asarray(video)).all()
+
+
+def test_cli_trains_with_dropout(tmp_path):
+    """`--dropout 0.1 --rnn_dropout 0.1` trains finite steps via the CLI
+    (MIGRATION.md's `-dp` claim, broken in round 2)."""
+    from kccotgan_tpu.cli.main import main as cli_main
+
+    rc = cli_main([
+        "--dname", "synthetic", "--max_steps", "2",
+        "--dropout", "0.1", "--rnn_dropout", "0.1",
+        "--batch_size", "2", "--total_time_steps", "5",
+        "--int_time_steps", "3", "--sinkhorn_l", "10",
+        "--height", "16", "--width", "16",
+        "--g_state_size", "3", "--g_filter_size", "2",
+        "--d_state_size", "3", "--d_filter_size", "2",
+        "--z_channels", "4", "--compute_dtype", "float32",
+        "--out_dir", str(tmp_path), "--run_name", "dp",
+        "--compile_cache", "",
+    ])
+    assert rc == 0
+
+
+def test_cli_flags_override_preset():
+    """Explicitly-typed CLI flags lay on top of --preset instead of
+    being silently dropped (round-2 VERDICT weak #6); untyped flags
+    keep the preset's values, not the parser defaults."""
+    from kccotgan_tpu.cli.main import (
+        build_parser, config_from_args, provided_dests,
+    )
+    from kccotgan_tpu.config import get_preset
+
+    base = get_preset("mmnist_full")
+    parser = build_parser()
+    argv = ["--preset", "mmnist_full", "--sinkhorn_l", "50",
+            "--dropout=0.1", "-bs", "4"]
+    cfg = config_from_args(parser.parse_args(argv), provided_dests(parser, argv))
+    assert cfg.sinkhorn_l == 50
+    assert cfg.model.dropout == 0.1  # --flag=value form
+    assert cfg.batch_size == 4  # short-option form
+    # untyped flags: preset wins over parser defaults
+    assert cfg.total_time_steps == base.total_time_steps
+    assert cfg.model.g_filter_size == base.model.g_filter_size
+    assert cfg.lr == base.lr
+
+    # no overrides -> exactly the preset (modulo run-identity fields)
+    argv2 = ["--preset", "mmnist_full"]
+    cfg2 = config_from_args(parser.parse_args(argv2), provided_dests(parser, argv2))
+    import dataclasses
+    assert dataclasses.replace(
+        cfg2, data_path=base.data_path, out_dir=base.out_dir,
+        run_name=base.run_name, seed=base.seed,
+    ) == base
+
+
 def test_train_step_smoothing_modes(tiny_batch):
     for kern in ("1d", "3d"):
         cfg = TrainConfig(
