@@ -82,6 +82,11 @@ def sinkhorn_from_cost(
         the reference trainer's effective behavior.  Otherwise enable the
         early stop: break once ``sum|u - u_prev| < threshold`` and at
         least ``lmin`` iterations have run (`gan_utils.py:149-160`).
+        The early-stop path is differentiable: ``lax.while_loop`` has no
+        reverse-mode rule, so its duals are treated as a fixed point and
+        the gradient flows through the implicit-function-theorem VJP
+        below (exact in the converged limit the early stop certifies;
+        the ``grad`` arg is ignored on this path).
       grad: ``'unrolled'`` (default) differentiates through all L dual
         updates — exactly what TF's GradientTape computes for the
         reference, O(L) backward.  ``'implicit'`` applies the implicit
@@ -107,6 +112,12 @@ def sinkhorn_from_cost(
 
         (u, v), _ = lax.scan(body, (u0, v0), None, length=num_iters)
     else:
+        # The dual solve runs on a gradient-severed cost so the
+        # while_loop never enters the autodiff graph (it has no
+        # transpose rule); the cost below re-attaches ``c`` through the
+        # implicit-gradient VJP.
+        c_ng = lax.stop_gradient(c)
+
         def cond(state):
             u, v, err, it = state
             return jnp.logical_and(
@@ -117,13 +128,14 @@ def sinkhorn_from_cost(
         def body(state):
             u, v, _, it = state
             u_prev = u
-            u, v = _dual_step(c, u, v, log_mu, log_nu, epsilon)
+            u, v = _dual_step(c_ng, u, v, log_mu, log_nu, epsilon)
             err = jnp.sum(jnp.abs(u - u_prev))
             return u, v, err, it + 1
 
         u, v, _, _ = lax.while_loop(
             cond, body, (u0, v0, jnp.asarray(jnp.inf, c.dtype), jnp.int32(0))
         )
+        return _cost_with_implicit_grad(c, u, v, epsilon)
 
     if grad == "implicit":
         return _cost_with_implicit_grad(
