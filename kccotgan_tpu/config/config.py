@@ -88,6 +88,12 @@ class TrainConfig:
 
     # parallelism
     num_devices: int = 1  # data-parallel mesh size
+    # sequence-parallel mesh size: shard the TIME axis so per-device
+    # generator activation memory scales O(T/S) (long horizons that
+    # exceed one chip's HBM).  total_time_steps and pred_time_steps
+    # must both divide by it.  Mutually exclusive with num_devices>1
+    # for now (1-D meshes).
+    seq_devices: int = 1
     global_batch_sinkhorn: bool = True  # all-gather exact global Sinkhorn
     donate_buffers: bool = True
 

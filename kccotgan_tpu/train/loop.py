@@ -29,11 +29,24 @@ __all__ = ["Trainer"]
 
 
 class Trainer:
-    def __init__(self, cfg: TrainConfig, *, mesh=None):
+    def __init__(self, cfg: TrainConfig, *, mesh=None, seq_mesh=None):
         self.cfg = cfg
         self.mods = GanModules(cfg)
         self.mesh = mesh
-        if mesh is not None:
+        self.seq_mesh = seq_mesh
+        if mesh is not None and seq_mesh is not None:
+            raise ValueError(
+                "data and sequence parallelism are 1-D meshes for now — "
+                "pass either mesh or seq_mesh, not both"
+            )
+        if seq_mesh is not None:
+            from ..parallel import build_seq_train_step, seq_replicated
+
+            self.train_step = build_seq_train_step(cfg, self.mods, seq_mesh)
+            self._shard_state = lambda s: jax.device_put(
+                s, seq_replicated(seq_mesh)
+            )
+        elif mesh is not None:
             from ..parallel import build_sharded_train_step, replicate_state
 
             self.train_step = build_sharded_train_step(cfg, self.mods, mesh)
