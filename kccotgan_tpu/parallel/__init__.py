@@ -9,6 +9,7 @@ from .mesh import (
 )
 from .seqmodel import seq_mesh, time_sharded_decode, time_sharded_encode
 from .seqpar import SEQ_AXIS, time_sharded_scan
+from .seqtrain import build_seq_train_step, seq_batch_sharding, seq_replicated
 from .sharding import build_sharded_train_step, replicate_state, shard_batch
 
 __all__ = [
@@ -25,4 +26,7 @@ __all__ = [
     "seq_mesh",
     "time_sharded_encode",
     "time_sharded_decode",
+    "build_seq_train_step",
+    "seq_batch_sharding",
+    "seq_replicated",
 ]

@@ -57,6 +57,7 @@ def time_sharded_encode(
     *,
     training: bool = True,
     axis_name: str = SEQ_AXIS,
+    rngs=None,
 ):
     """Run ``VideoEncoder`` with the time axis sharded over ``axis_name``.
 
@@ -75,18 +76,28 @@ def time_sharded_encode(
     enc = encoder.clone(seq_axis=axis_name)
     tc = encoder.int_time_steps
 
-    def body(video_local):
+    def body(vars_, video_local):
         # Full-length pyramid on the local chunk; the [:, Tc-1:] slice
-        # is global-time and happens outside.
-        return enc.apply(variables, video_local, training=training, slice_time=False)
+        # is global-time and happens outside.  ``rngs`` is identical on
+        # every shard — Keras dropout masks are shared across TIME, so
+        # same-key masks on every time chunk reproduce the unsharded
+        # semantics exactly.  ``vars_`` is an EXPLICIT replicated input
+        # (not a closure capture): differentiating w.r.t. a value
+        # closed over by a shard_map body breaks under the sharding-in-
+        # types cotangent instantiation (Auto-mesh aval inside the
+        # Manual region) — explicit P() args transpose cleanly.
+        return enc.apply(
+            vars_, video_local, training=training, slice_time=False,
+            rngs=rngs,
+        )
 
     pyramid = shard_map(
         body,
         mesh=mesh,
-        in_specs=P(None, None, axis_name),   # [B, H, T, W, C]: shard T
+        in_specs=(P(), P(None, None, axis_name)),  # [B, H, T, W, C]: shard T
         out_specs=P(None, axis_name),        # [B, T, h, w, c]: shard T
         check_vma=False,
-    )(video)
+    )(variables, video)
     return [lvl[:, tc - 1 :] for lvl in pyramid]
 
 
@@ -99,6 +110,7 @@ def time_sharded_decode(
     *,
     training: bool = True,
     axis_name: str = SEQ_AXIS,
+    rngs=None,
 ) -> jnp.ndarray:
     """Run ``VideoDecoder`` with the time axis sharded over ``axis_name``.
 
@@ -115,15 +127,17 @@ def time_sharded_decode(
         (lvl[:, :-1] if training else lvl[:, -1:]) for lvl in pyramid
     ]
 
-    def body(pyr_local, z_local):
+    def body(vars_, pyr_local, z_local):
+        # vars_ explicit for the same AD reason as time_sharded_encode.
         return dec.apply(
-            variables, pyr_local, z_local, training=training, pre_sliced=True
+            vars_, pyr_local, z_local, training=training, pre_sliced=True,
+            rngs=rngs,
         )
 
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(None, axis_name), P(None, axis_name)),
+        in_specs=(P(), P(None, axis_name), P(None, axis_name)),
         out_specs=P(None, None, axis_name),  # film-strip [B, H, T, W, C]
         check_vma=False,
-    )(sliced, z)
+    )(variables, sliced, z)

@@ -1,0 +1,101 @@
+"""Sequence-parallel TRAINING: gradients + optimizer under a "seq" mesh.
+
+Round-2 closed the forward pass (time_sharded_encode/decode are
+bit-exact); this module makes the time-sharded path TRAINABLE end to
+end, which is what sequence parallelism exists for — training horizons
+whose ConvLSTM activation stacks exceed one chip's HBM (SURVEY.md §2.9
+/ §5.7; the reference has no distributed execution at all).
+
+Design (hybrid shard_map + GSPMD):
+
+* the generator recurrences — the O(T) activation giants — run inside
+  ``shard_map`` as ring-relay scans (``time_sharded_encode/decode``),
+  injected into the SHARED ``train.steps.gan_forward`` via its
+  ``encode``/``decode`` hooks, so loss semantics are literally the same
+  code as the single-chip step;
+* everything around them (context/future concat, Gaussian smoothing
+  over global time, both discriminators, the mixed Sinkhorn + pM) runs
+  as plain ops on time-sharded global arrays — GSPMD partitions the
+  per-frame convs over the seq axis and inserts the exact collectives
+  where time couples (temporal smoothing halos, the discriminators'
+  LSTM scans, the [B,B] cost matrices — all small: [B,T,J] and [B,B]);
+* gradients flow through ``shard_map``/``ppermute``/``psum`` (all
+  reverse-differentiable; the relay ring transposes to the reverse
+  ring), and the four Adam updates run on the replicated state exactly
+  as in ``build_train_step``.
+
+Divisibility contract: ``total_time_steps`` and ``pred_time_steps``
+must both divide by the seq-mesh size.
+
+Exactness vs the unsharded step (params, opt state, metrics — grads
+included) is pinned on an 8-device CPU mesh in tests/test_seqpar.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import TrainConfig
+from ..train.state import GanModules, TrainState
+from ..train.steps import build_train_step
+from .seqmodel import time_sharded_decode, time_sharded_encode
+from .seqpar import SEQ_AXIS
+
+__all__ = ["build_seq_train_step", "seq_batch_sharding", "seq_replicated"]
+
+
+def seq_batch_sharding(mesh: Mesh, *, axis_name: str = SEQ_AXIS) -> NamedSharding:
+    """Film-strip batch ``[B, H, T, W, C]`` sharded along time."""
+    return NamedSharding(mesh, P(None, None, axis_name))
+
+
+def seq_replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def build_seq_train_step(
+    cfg: TrainConfig,
+    mods: GanModules,
+    mesh: Mesh,
+    *,
+    axis_name: str = SEQ_AXIS,
+) -> Callable[[TrainState, jax.Array], tuple[TrainState, dict]]:
+    """``train_step(state, batch) -> (state, metrics)`` with the time
+    axis of every generator activation sharded over ``axis_name``.
+
+    ``state`` must be replicated over the mesh and ``batch`` sharded
+    with ``seq_batch_sharding`` (film-strip time axis 2).
+    """
+    s = mesh.shape[axis_name]
+    if cfg.total_time_steps % s or cfg.pred_time_steps % s:
+        raise ValueError(
+            f"seq mesh size {s} must divide total_time_steps "
+            f"({cfg.total_time_steps}) and pred_time_steps "
+            f"({cfg.pred_time_steps})"
+        )
+
+    def encode(params, video, rngs):
+        return time_sharded_encode(
+            mods.encoder, {"params": params}, video, mesh,
+            training=True, axis_name=axis_name, rngs=rngs,
+        )
+
+    def decode(params, pyramid, z, rngs):
+        return time_sharded_decode(
+            mods.decoder, {"params": params}, pyramid, z, mesh,
+            training=True, axis_name=axis_name, rngs=rngs,
+        )
+
+    step = build_train_step(
+        cfg, mods, jit=False, encode=encode, decode=decode,
+    )
+    repl = seq_replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, seq_batch_sharding(mesh, axis_name=axis_name)),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if cfg.donate_buffers else (),
+    )
