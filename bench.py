@@ -27,6 +27,58 @@ import time
 
 REF_V100_FRAMES_PER_SEC = 30.0  # generous estimate, see module docstring
 
+# Per-chip peaks for MFU / roofline accounting.  TPU v5e (v5 lite):
+# 197 TFLOP/s bf16 on the MXU, 819 GB/s HBM bandwidth (public spec).
+# f32 has no separate MXU rate on v5e — MFU is reported against the
+# bf16 peak (the convention of the scaling-book roofline).
+TPU_PEAKS = {
+    "TPU v5 lite": {"bf16_tflops": 197.0, "hbm_gbps": 819.0},
+    "TPU v5e": {"bf16_tflops": 197.0, "hbm_gbps": 819.0},
+    "TPU v4": {"bf16_tflops": 275.0, "hbm_gbps": 1228.0},
+    "TPU v6 lite": {"bf16_tflops": 918.0, "hbm_gbps": 1640.0},
+}
+
+
+def roofline(step_fn, state, batch, dt: float):
+    """FLOP/byte accounting of the compiled step via XLA's cost model.
+
+    Returns a dict with achieved TFLOP/s, MFU vs the chip's bf16 peak,
+    achieved HBM GB/s vs peak, and which resource binds.  ``flops`` is
+    the EXECUTED count (includes remat recompute), so mfu is true
+    hardware utilization, not model utilization.
+    """
+    import jax
+
+    try:
+        ca = step_fn.lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+        return {}
+    flops = float(ca.get("flops", 0.0) or 0.0)
+    bytes_accessed = float(ca.get("bytes accessed", 0.0) or 0.0)
+    if flops <= 0:
+        return {}
+    kind = jax.devices()[0].device_kind
+    peaks = TPU_PEAKS.get(kind)
+    out = {
+        "step_flops": flops,
+        "step_hbm_bytes": bytes_accessed,
+        "tflops_per_sec": round(flops / dt / 1e12, 2),
+        "hbm_gbps": round(bytes_accessed / dt / 1e9, 1),
+        "arithmetic_intensity": round(flops / max(bytes_accessed, 1.0), 2),
+    }
+    if peaks:
+        mfu = flops / dt / 1e12 / peaks["bf16_tflops"]
+        hbm_util = bytes_accessed / dt / 1e9 / peaks["hbm_gbps"]
+        out["mfu"] = round(mfu, 4)
+        out["hbm_util"] = round(hbm_util, 4)
+        out["binding_resource"] = (
+            "hbm" if hbm_util > mfu else "flops"
+        ) if max(hbm_util, mfu) > 0.35 else "latency (scan-bound)"
+    return out
+
 
 # Repeatable benchmark configurations (PARITY.md perf table rows).
 # 'default' is the flagship the driver records; the others are the
@@ -143,6 +195,20 @@ def main() -> int:
         print(json.dumps({"metric": "error", "value": 0, "unit": "nan-loss", "vs_baseline": 0}))
         return 1
 
+    rl = roofline(step_fn, state, batch, dt)
+    if rl:
+        print(
+            "# roofline: %.1f TFLOP/s (MFU %.1f%%), %.0f GB/s HBM (%.1f%%), "
+            "AI %.1f flop/byte, binds on %s"
+            % (
+                rl.get("tflops_per_sec", 0.0), 100 * rl.get("mfu", 0.0),
+                rl.get("hbm_gbps", 0.0), 100 * rl.get("hbm_util", 0.0),
+                rl.get("arithmetic_intensity", 0.0),
+                rl.get("binding_resource", "?"),
+            ),
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {
@@ -152,6 +218,7 @@ def main() -> int:
                 "value": round(frames_per_sec, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(frames_per_sec / REF_V100_FRAMES_PER_SEC, 2),
+                **rl,
             }
         )
     )

@@ -8,10 +8,13 @@ reference lacks.  Every loader emits film-strip batches
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Iterator
 
 import numpy as np
+
+_log = logging.getLogger(__name__)
 
 from ..config import TrainConfig
 from .mmnist import load_mmnist, mmnist_paths
@@ -26,14 +29,23 @@ def _drop_alpha(batch: np.ndarray, channels: int) -> np.ndarray:
     return batch[..., :channels]
 
 
-def _collect_batch(it: Iterator[np.ndarray], n: int) -> np.ndarray | None:
+def _collect_batch(
+    it: Iterator[np.ndarray], n: int, *, what: str = "test split"
+) -> np.ndarray | None:
     """Stack the first ``n`` samples of a generator, or None if it
-    yields fewer (e.g. an empty/short test directory)."""
+    yields fewer.  A present-but-unusable split (e.g. every video in a
+    populated kth_test/ shorter than time_steps) is distinguishable from
+    'no test dir' by the warning."""
     samples = []
     for sample in it:
         samples.append(np.asarray(sample, dtype=np.float32))
         if len(samples) == n:
             return np.stack(samples)
+    _log.warning(
+        "%s yielded only %d of the %d samples needed for one batch; "
+        "no test batch will be used (check video lengths vs time_steps)",
+        what, len(samples), n,
+    )
     return None
 
 
@@ -68,7 +80,7 @@ def make_dataset(cfg: TrainConfig) -> tuple[Iterator[np.ndarray], np.ndarray | N
             name, t, cfg.data_path, mode="train",
             custom_frame_size=m.x_height, seed=cfg.seed,
         )
-        gen = GeneratorDataset(reader.samples, b)
+        gen = GeneratorDataset(reader.samples, b, seed=cfg.seed)
         test_path = os.path.join(cfg.data_path, name, f"np_{name}_test.npy")
         test = None
         if os.path.exists(test_path):
@@ -81,7 +93,7 @@ def make_dataset(cfg: TrainConfig) -> tuple[Iterator[np.ndarray], np.ndarray | N
 
         root = os.path.join(cfg.data_path, "softmotion30_44k")
         train_gen = GeneratorDataset(
-            lambda: robot_push_samples(root, t, train=True), b
+            lambda: robot_push_samples(root, t, train=True), b, seed=cfg.seed
         )
         test = None
         try:
@@ -101,33 +113,44 @@ def make_dataset(cfg: TrainConfig) -> tuple[Iterator[np.ndarray], np.ndarray | N
         test_root = os.path.join(cfg.data_path, "kth_test")
         gen = GeneratorDataset(
             lambda: kth_samples(root, b, m.x_height, m.x_width, t, seed=cfg.seed),
-            b,
+            b, seed=cfg.seed,
         )
         test = None
         if os.path.isdir(test_root):
             test_it = kth_samples(
                 test_root, b, m.x_height, m.x_width, t, seed=cfg.seed + 1
             )
-            test = _collect_batch(test_it, b)
+            test = _collect_batch(test_it, b, what=f"kth test dir {test_root}")
         return gen.repeat(cfg.n_epochs), test
 
     if cfg.dname == "penn_action":
         from .penn import penn_samples
 
         # The reference has no Penn test stream (`kernel_train.py:84-88`
-        # sets only batched_x); we draw a held-out batch with a distinct
-        # seed so rollout sampling works on this dataset too.
+        # sets only batched_x).  If a penn_frames_test/ split dir exists
+        # (like kth_test/) the rollout-eval batch is truly held out;
+        # otherwise it falls back to an IN-DISTRIBUTION batch drawn from
+        # the training directory with a distinct seed — penn_samples
+        # picks videos at random, so that batch may overlap the training
+        # stream (documented limitation; provide penn_frames_test/ for a
+        # real held-out split).
         root = os.path.join(cfg.data_path, "penn_frames")
+        test_root = os.path.join(cfg.data_path, "penn_frames_test")
         gen = GeneratorDataset(
             lambda: penn_samples(root, b, m.x_height, m.x_width, t, seed=cfg.seed),
-            b,
+            b, seed=cfg.seed,
         )
         test = None
-        if os.path.isdir(root):
+        if os.path.isdir(test_root):
+            test_it = penn_samples(
+                test_root, b, m.x_height, m.x_width, t, seed=cfg.seed + 1
+            )
+            test = _collect_batch(test_it, b, what=f"penn test dir {test_root}")
+        elif os.path.isdir(root):
             test_it = penn_samples(
                 root, b, m.x_height, m.x_width, t, seed=cfg.seed + 1
             )
-            test = _collect_batch(test_it, b)
+            test = _collect_batch(test_it, b, what=f"penn train dir {root}")
         return gen.repeat(cfg.n_epochs), test
 
     if cfg.dname in ("animation", "human_action", "ucf"):
@@ -138,7 +161,7 @@ def make_dataset(cfg: TrainConfig) -> tuple[Iterator[np.ndarray], np.ndarray | N
             lambda: flat_feature_samples(
                 pattern, m.x_height, m.x_width, t, m.n_channels, seed=cfg.seed
             ),
-            b,
+            b, seed=cfg.seed,
         )
         return gen.repeat(cfg.n_epochs), None
 
