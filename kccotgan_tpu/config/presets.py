@@ -77,6 +77,22 @@ def _reference_defaults() -> TrainConfig:
     )
 
 
+def _synthetic_demo() -> TrainConfig:
+    """Flagship-geometry run on the built-in bouncing-blob fixture
+    (`data/synthetic.py`) — trains and samples with zero downloads.
+    Used to produce the committed qualitative rollout artifacts
+    (artifacts/): the reference's published deliverable is rollout
+    gifs (`/root/reference/README.md:9-16`)."""
+    return TrainConfig(
+        dname="synthetic",
+        batch_size=32,
+        total_time_steps=20,
+        int_time_steps=10,
+        sinkhorn_l=100,
+        model=ModelConfig(n_channels=1),
+    )
+
+
 PRESETS = {
     "mmnist_small": _mmnist_small,
     "mmnist_full": _mmnist_full,
@@ -84,6 +100,7 @@ PRESETS = {
     "robot_push": _bair,
     "mmnist_long": _mmnist_long,
     "reference_defaults": _reference_defaults,
+    "synthetic_demo": _synthetic_demo,
 }
 
 

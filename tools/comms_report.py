@@ -23,74 +23,20 @@ Usage: python tools/comms_report.py [--devices 8] [--batch 32] ...
 import argparse
 import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_DTYPE_BYTES = {
-    "f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "f16": 2,
-    "u8": 1, "s8": 1, "f64": 8, "s64": 8, "u64": 8,
-}
-
 # Ring-collective cost model (How to Scale Your Model, §collectives):
 # over an N-device ring, an all-gather producing V bytes moves
 # V*(N-1)/N per link; an all-reduce of V bytes moves 2*V*(N-1)/N
-# (reduce-scatter + all-gather).  v5e ICI one-way link bandwidth:
-ICI_LINK_GBPS = 45.0  # 4.5e10 B/s one-way per link (v5e public spec)
-
-_COLLECTIVES = (
-    "all-gather", "all-reduce", "reduce-scatter", "collective-permute",
-    "all-to-all",
+# (reduce-scatter + all-gather).  Parsing + pricing live in the
+# library so tests can pin the collective set of the compiled program.
+from kccotgan_tpu.parallel.comms import (  # noqa: E402
+    ICI_LINK_GBPS,
+    collect_collectives,
+    ici_time_us,
 )
-
-
-def _shape_list_bytes(shape_str: str) -> tuple[int, list[str]]:
-    """Bytes + shape strings for 'f32[a,b]' or '(f32[a], bf16[b,c])'."""
-    shapes = re.findall(r"(\w+)\[([\d,]*)\]", shape_str)
-    total = 0
-    reprs = []
-    for dt, dims in shapes:
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        total += n * _DTYPE_BYTES.get(dt, 4)
-        reprs.append(f"{dt}[{dims}]")
-    return total, reprs
-
-
-def collect_collectives(hlo_text: str) -> list[dict]:
-    """Every collective op in the optimized HLO: kind, shapes, bytes."""
-    ops = []
-    pat = re.compile(
-        r"=\s+((?:\([^)]*\))|\S+)\s+(%s)(?:-start)?\("
-        % "|".join(_COLLECTIVES)
-    )
-    for line in hlo_text.splitlines():
-        m = pat.search(line)
-        if not m:
-            continue
-        nbytes, shapes = _shape_list_bytes(m.group(1))
-        ops.append({
-            "op": m.group(2),
-            "shapes": shapes,
-            "bytes": nbytes,
-        })
-    return ops
-
-
-def ici_time_us(op: str, nbytes: int, n: int) -> float:
-    """Ring-model ICI time for one collective, microseconds."""
-    link_bps = ICI_LINK_GBPS * 1e9
-    frac = (n - 1) / n
-    if op == "all-reduce":
-        moved = 2 * nbytes * frac
-    elif op in ("all-gather", "reduce-scatter", "all-to-all"):
-        moved = nbytes * frac
-    else:  # collective-permute: one hop
-        moved = nbytes / n
-    return moved / link_bps * 1e6
 
 
 def main() -> int:
