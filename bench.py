@@ -118,6 +118,9 @@ def main() -> int:
                    help="scan-body checkpoint policy (save_recurrent "
                         "keeps recurrent conv outputs, recomputes only "
                         "gate math in backward)")
+    p.add_argument("--conv-packing", default="off", choices=["auto", "off"],
+                   help="space-to-depth MXU-lane packing of stride-1 "
+                        "small-filter ConvLSTMs")
     args = p.parse_args()
 
     shape = BENCH_CONFIGS[args.config]
@@ -149,6 +152,7 @@ def main() -> int:
         compute_dtype=args.dtype,
         scan_unroll=args.unroll,
         scan_remat_policy=args.remat_policy,
+        conv_packing=args.conv_packing,
         model=ModelConfig(x_height=64, x_width=64, n_channels=args.channels),
     )
     print(

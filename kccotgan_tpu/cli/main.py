@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat_policy", type=str, default="carry_only",
                    choices=["carry_only", "save_recurrent"],
                    help="scan-body checkpoint policy (HBM vs recompute)")
+    p.add_argument("--conv_packing", type=str, default="off",
+                   choices=["auto", "off"],
+                   help="space-to-depth MXU-lane packing of stride-1 "
+                        "small-filter ConvLSTMs ('off' = bit-exact "
+                        "unpacked numerics; models/conv_packing.py)")
     p.add_argument("--profile_steps", type=str, default="",
                    help="'start,stop' step window to capture an XLA trace "
                         "into <run_dir>/profile (e.g. '5,8')")
@@ -112,6 +117,7 @@ _TRAIN_DESTS = {
     "reg_penalty": "reg_penalty", "cost_method": "cost_method",
     "solver": "sinkhorn_solver", "compute_dtype": "compute_dtype",
     "remat_policy": "scan_remat_policy", "kernel": "kernel",
+    "conv_packing": "conv_packing",
     "init_sigma": "init_sigma", "decaying_sigma": "decaying_sigma",
     "lr": "lr", "warmup": "warmup_steps", "num_devices": "num_devices",
     "seq_devices": "seq_devices",
@@ -200,6 +206,7 @@ def config_from_args(
         sinkhorn_solver=args.solver,
         compute_dtype=args.compute_dtype,
         scan_remat_policy=args.remat_policy,
+        conv_packing=args.conv_packing,
         kernel=args.kernel,
         init_sigma=args.init_sigma,
         decaying_sigma=args.decaying_sigma,

@@ -115,6 +115,14 @@ class TrainConfig:
     # mathematically identical — models/layers.py::_remat).
     scan_remat_policy: str = "carry_only"
     scan_unroll: int = 1     # lax.scan unroll factor for ConvLSTM/LSTM
+    # 'auto': run stride-1 small-filter ConvLSTMs (decoder5 at default
+    # g_state_size=8: 4f=32 of 128 MXU lanes) on space-to-depth-packed
+    # tensors — the same linear map with r^2-fatter channels
+    # (models/conv_packing.py).  Measured SLOWER on the v5e flagship
+    # (165.6 vs 161.3 ms — XLA's conv emitter already handles small-N
+    # convs; the relayouts added ~10 GB/step of HBM traffic, PARITY.md),
+    # so the default is 'off'; kept as an opt-in experiment knob.
+    conv_packing: str = "off"
 
     # Run the 4 discriminator passes (h/m x real/fake) as ONE vmapped
     # call over stacked params: 4x fewer scan launches at 4x batch.

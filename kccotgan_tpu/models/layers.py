@@ -147,6 +147,25 @@ class ConvLSTM2D(nn.Module):
     # The module must then be applied inside shard_map with the axis
     # bound and time sharded over it.
     seq_axis: str | None = None
+    # MXU-lane packing: 'auto' runs stride-1 small-filter layers (the
+    # full-resolution decoder ConvLSTM: 4f = 32 of 128 MXU lanes) on
+    # space-to-depth-by-2 tensors — same linear map, 4x fatter
+    # channels, ~2.3x fewer MXU tile-passes (models/conv_packing.py).
+    # 'off' = bit-replication mode (packing changes reduction order).
+    conv_packing: str = "off"
+
+    def _pack_factor(self, h: int, w: int, training: bool) -> int:
+        if (
+            self.conv_packing == "auto"
+            and self.strides == (1, 1)
+            and self.filters <= 16           # 4f <= 64: lane-starved
+            and h % 2 == 0 and w % 2 == 0
+            and min(h, w) >= 8
+            and not (training and (self.dropout > 0.0
+                                   or self.recurrent_dropout > 0.0))
+        ):
+            return 2
+        return 1
 
     @nn.compact
     def __call__(
@@ -186,7 +205,41 @@ class ConvLSTM2D(nn.Module):
         use_in_dropout = training and self.dropout > 0.0
         use_rec_dropout = training and self.recurrent_dropout > 0.0
 
-        if use_in_dropout:
+        r = self._pack_factor(h, w, training)
+        if r > 1:
+            # Space-to-depth packing (models/conv_packing.py): both the
+            # hoisted input conv and the per-step recurrent conv run in
+            # block space with (gate, group, f)-ordered outputs, so the
+            # scan body below is unchanged — each gate slice is the s2d
+            # layout the next step's rconv consumes.  One d2s on the
+            # output stack (and the final carry) restores frame layout.
+            from .conv_packing import (
+                gate_major, pack_kernel, packed_same_conv, space_to_depth,
+            )
+
+            k_packed = gate_major(pack_kernel(kernel, r), r * r)
+            rk_packed = gate_major(pack_kernel(rec_kernel, r), r * r)
+            if bias is not None:
+                bias_eff = jnp.broadcast_to(
+                    bias.reshape(4, 1, f), (4, r * r, f)
+                ).reshape(4 * r * r * f)
+            else:
+                bias_eff = None
+            xconv = packed_same_conv(
+                space_to_depth(x_seq.reshape(b * t, h, w, c), r),
+                k_packed, (kh, kw), r, cdt, out_dtype=cdt,
+            )
+            ho, wo = xconv.shape[1], xconv.shape[2]
+            fr = f * r * r  # per-gate packed channel count
+            xconv = (
+                xconv.reshape(b, t, ho, wo, 4 * fr).transpose(1, 0, 2, 3, 4)
+            )
+
+            def rconv_fn(h_prev):
+                return packed_same_conv(
+                    h_prev, rk_packed, (kh, kw), r, cdt
+                )
+        elif use_in_dropout:
             # Keras: 4 independent input-dropout masks (one per gate),
             # shared across time.  Linearity of conv lets us apply the
             # masks pre-conv; requires per-gate convs (slow path).
@@ -212,6 +265,7 @@ class ConvLSTM2D(nn.Module):
             xconv = jnp.concatenate(parts, axis=-1)
             ho, wo = xconv.shape[1], xconv.shape[2]
             xconv = xconv.reshape(t, b, ho, wo, 4 * f)
+            fr, bias_eff, rconv_fn = f, bias, None
         else:
             # Stream the hoisted stack at conv-output precision and add
             # the bias inside the scan body instead: values are identical
@@ -228,6 +282,7 @@ class ConvLSTM2D(nn.Module):
             ho, wo = xconv.shape[1], xconv.shape[2]
             # [B*T, H', W', 4f] -> [T, B, H', W', 4f] for scan
             xconv = xconv.reshape(b, t, ho, wo, 4 * f).transpose(1, 0, 2, 3, 4)
+            fr, bias_eff, rconv_fn = f, bias, None
 
         if use_rec_dropout:
             rng = self.make_rng("dropout")
@@ -246,7 +301,9 @@ class ConvLSTM2D(nn.Module):
 
         def step(carry, xt):
             h_prev, c_prev = carry
-            if rec_masks is None:
+            if rconv_fn is not None:
+                rconv = rconv_fn(h_prev)
+            elif rec_masks is None:
                 rconv = _same_conv(h_prev, rec_kernel, (1, 1), cdt)
             else:
                 parts = []
@@ -256,8 +313,8 @@ class ConvLSTM2D(nn.Module):
                 rconv = jnp.concatenate(parts, axis=-1)
             rconv = checkpoint_name(rconv, "rconv")
             xt32 = xt.astype(jnp.float32)
-            if bias is not None:
-                xt32 = xt32 + bias
+            if bias_eff is not None:
+                xt32 = xt32 + bias_eff
             z = xt32 + rconv
             zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
             i = rec_act(zi)
@@ -277,10 +334,15 @@ class ConvLSTM2D(nn.Module):
             step = _remat(step, self.remat_policy, "rconv")
 
         if initial_state is None:
-            h0 = jnp.zeros((b, ho, wo, f), dtype=jnp.float32)
-            c0 = jnp.zeros((b, ho, wo, f), dtype=jnp.float32)
+            h0 = jnp.zeros((b, ho, wo, fr), dtype=jnp.float32)
+            c0 = jnp.zeros((b, ho, wo, fr), dtype=jnp.float32)
         else:
             h0, c0 = initial_state
+            if r > 1:
+                # carry-state API speaks frame layout at the boundary
+                from .conv_packing import space_to_depth as _s2d
+
+                h0, c0 = _s2d(h0, r), _s2d(c0, r)
         if self.seq_axis is not None:
             # Deferred import: ..parallel's package __init__ pulls in
             # train.steps -> models -> this module (cycle at import time).
@@ -294,6 +356,13 @@ class ConvLSTM2D(nn.Module):
         # Transpose in compute precision, hand back f32 at the module
         # boundary (consumers' casts fuse with this convert).
         out = out.transpose(1, 0, 2, 3, 4).astype(jnp.float32)
+        if r > 1:
+            from .conv_packing import depth_to_space as _d2s
+
+            out = _d2s(out, r)
+            if return_state:
+                hn, cn = carry
+                return out, (_d2s(hn, r), _d2s(cn, r))
         if return_state:
             return out, carry
         return out

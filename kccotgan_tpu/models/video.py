@@ -73,6 +73,11 @@ class VideoEncoder(nn.Module):
     # pyramid slice is a global-time op — the parallel.time_sharded_
     # encode wrapper performs it outside the shard_map region).
     seq_axis: str | None = None
+    # 'auto': space-to-depth MXU-lane packing on eligible stride-1
+    # small-filter ConvLSTMs (models/conv_packing.py); 'off' = exact
+    # bit-replication mode.  Encoder layers are stride-2 so this is
+    # currently a no-op here; threaded for config uniformity.
+    conv_packing: str = "off"
 
     @nn.compact
     def __call__(
@@ -114,6 +119,7 @@ class VideoEncoder(nn.Module):
                 remat_policy=self.scan_remat_policy,
                 unroll=self.scan_unroll,
                 seq_axis=self.seq_axis,
+                conv_packing=self.conv_packing,
                 name=f"encoder{i + 1}",
             )(
                 h,
@@ -168,6 +174,11 @@ class VideoDecoder(nn.Module):
     # with ``pre_sliced=True`` (teacher-forcing [:, :-1] is a global-
     # time slice, done outside shard_map by parallel.time_sharded_decode).
     seq_axis: str | None = None
+    # 'auto': space-to-depth MXU-lane packing on the stride-1
+    # small-filter ConvLSTMs — at default g_state_size=8 that is
+    # decoder5, the full-resolution 8x8-kernel layer whose 4f=32 gate
+    # channels otherwise use 32 of 128 MXU lanes (conv_packing.py).
+    conv_packing: str = "off"
 
     @nn.compact
     def __call__(
@@ -223,6 +234,7 @@ class VideoDecoder(nn.Module):
                 remat_policy=self.scan_remat_policy,
                 unroll=self.scan_unroll,
                 seq_axis=self.seq_axis,
+                conv_packing=self.conv_packing,
                 name=dec_name,
             )(h, training=training)
             h = maybe_norm(h, dec_name + "_norm")
@@ -244,6 +256,7 @@ class VideoDecoder(nn.Module):
             remat_policy=self.scan_remat_policy,
             unroll=self.scan_unroll,
             seq_axis=self.seq_axis,
+            conv_packing=self.conv_packing,
             name="decoder5",
         )(h, training=training)
         h = maybe_norm(h, "decoder5_norm")

@@ -278,7 +278,10 @@ def compute_sinkhorn_loss(
     ``solver='pallas'`` routes the three solves through the fused Pallas
     TPU kernel (cost matrices resident in VMEM for all L iterations);
     it beats the scan solver standalone in every measured (B, L) regime
-    (PARITY.md solver table — up to 2.3x on fwd+grad).  ``'auto'`` (the
+    (PARITY.md solver table — up to 2.3x on fwd+grad; the one losing
+    cell in the round-2 table, B=128/L=100, no longer reproduces after
+    the r3 solver changes — boundary re-swept at B=64..256, Pallas wins
+    everywhere, so ``'auto'`` needs no shape dispatch).  ``'auto'`` (the
     default) picks pallas on a TPU backend and scan elsewhere (the
     kernel would run in slow interpret mode off-TPU).
     """

@@ -54,6 +54,7 @@ class GanModules:
             scan_remat=cfg.scan_remat,
             scan_remat_policy=cfg.scan_remat_policy,
             scan_unroll=cfg.scan_unroll,
+            conv_packing=cfg.conv_packing,
         )
         self.decoder = VideoDecoder(
             x_height=m.x_height,
@@ -68,6 +69,7 @@ class GanModules:
             scan_remat=cfg.scan_remat,
             scan_remat_policy=cfg.scan_remat_policy,
             scan_unroll=cfg.scan_unroll,
+            conv_packing=cfg.conv_packing,
         )
         disc_kwargs = dict(
             state_size=m.d_state_size,
