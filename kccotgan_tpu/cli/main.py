@@ -243,7 +243,14 @@ def main(argv: list[str] | None = None) -> int:
     mesh = None
     smesh = None
     data_sharding = None
-    if cfg.num_devices > 1:
+    if cfg.num_devices > 1 and cfg.seq_devices > 1:
+        # 2-D data x seq mesh: batch over 'data', generator time over
+        # 'seq' (ring relay on the minor/ICI-adjacent axis).
+        from ..parallel import data_seq_mesh, seq_batch_sharding
+
+        smesh = data_seq_mesh(cfg.num_devices, cfg.seq_devices)
+        data_sharding = seq_batch_sharding(smesh)
+    elif cfg.num_devices > 1:
         from ..parallel import batch_sharding, make_mesh
 
         mesh = make_mesh(cfg.num_devices)

@@ -91,8 +91,9 @@ class TrainConfig:
     # sequence-parallel mesh size: shard the TIME axis so per-device
     # generator activation memory scales O(T/S) (long horizons that
     # exceed one chip's HBM).  total_time_steps and pred_time_steps
-    # must both divide by it.  Mutually exclusive with num_devices>1
-    # for now (1-D meshes).
+    # must both divide by it.  Composes with num_devices>1 into a 2-D
+    # (data x seq) mesh — batch over 'data', generator time over 'seq'
+    # (parallel/seqtrain.py; exactness pinned in tests/test_seqpar.py).
     seq_devices: int = 1
     global_batch_sinkhorn: bool = True  # all-gather exact global Sinkhorn
     donate_buffers: bool = True

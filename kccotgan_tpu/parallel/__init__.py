@@ -7,7 +7,12 @@ from .mesh import (
     make_mesh,
     replicated_sharding,
 )
-from .seqmodel import seq_mesh, time_sharded_decode, time_sharded_encode
+from .seqmodel import (
+    data_seq_mesh,
+    seq_mesh,
+    time_sharded_decode,
+    time_sharded_encode,
+)
 from .seqpar import SEQ_AXIS, time_sharded_scan
 from .seqtrain import build_seq_train_step, seq_batch_sharding, seq_replicated
 from .sharding import build_sharded_train_step, replicate_state, shard_batch
@@ -24,6 +29,7 @@ __all__ = [
     "SEQ_AXIS",
     "time_sharded_scan",
     "seq_mesh",
+    "data_seq_mesh",
     "time_sharded_encode",
     "time_sharded_decode",
     "build_seq_train_step",

@@ -36,7 +36,25 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .seqpar import SEQ_AXIS
 
-__all__ = ["seq_mesh", "time_sharded_encode", "time_sharded_decode"]
+__all__ = [
+    "seq_mesh",
+    "data_seq_mesh",
+    "time_sharded_encode",
+    "time_sharded_decode",
+]
+
+
+def _shard_rngs(rngs, data_axis):
+    """Dropout keys must be identical across the SEQ axis (Keras masks
+    are shared over time) but independent across DATA shards — each
+    shard holds different batch rows, so reusing one key would correlate
+    masks between rows that are independent in the unsharded model."""
+    if rngs is None or data_axis is None:
+        return rngs
+    idx = jax.lax.axis_index(data_axis)
+    return jax.tree_util.tree_map(
+        lambda k: jax.random.fold_in(k, idx), rngs
+    )
 
 
 def seq_mesh(n_devices: int | None = None, *, axis_name: str = SEQ_AXIS) -> Mesh:
@@ -49,6 +67,25 @@ def seq_mesh(n_devices: int | None = None, *, axis_name: str = SEQ_AXIS) -> Mesh
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def data_seq_mesh(
+    data: int,
+    seq: int,
+    *,
+    data_axis: str = "data",
+    axis_name: str = SEQ_AXIS,
+) -> Mesh:
+    """2-D ``(data, seq)`` mesh: batch sharded over ``data``, the time
+    axis of generator activations over ``seq``.  The seq axis is the
+    MINOR (fastest-varying) mesh dimension so each ring-relay's
+    ppermute neighbours are ICI-adjacent chips; the data axis carries
+    only the per-step gradient all-reduce + Sinkhorn feature gathers
+    (comms budget: artifacts/comms_flagship_8dev.json)."""
+    import numpy as np
+
+    devs = jax.devices()[: data * seq]
+    return Mesh(np.asarray(devs).reshape(data, seq), (data_axis, axis_name))
+
+
 def time_sharded_encode(
     encoder,
     variables,
@@ -57,9 +94,15 @@ def time_sharded_encode(
     *,
     training: bool = True,
     axis_name: str = SEQ_AXIS,
+    data_axis: str | None = None,
     rngs=None,
 ):
     """Run ``VideoEncoder`` with the time axis sharded over ``axis_name``.
+
+    ``data_axis``: if the mesh is 2-D (data x seq), the batch dim is
+    additionally sharded over this axis — each shard then runs the ring
+    relay on its own batch rows (batch is embarrassingly parallel in
+    the recurrence).
 
     Args:
       encoder: a ``models.VideoEncoder`` instance (``seq_axis`` unset —
@@ -88,14 +131,15 @@ def time_sharded_encode(
         # Manual region) — explicit P() args transpose cleanly.
         return enc.apply(
             vars_, video_local, training=training, slice_time=False,
-            rngs=rngs,
+            rngs=_shard_rngs(rngs, data_axis),
         )
 
+    da = data_axis
     pyramid = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(None, None, axis_name)),  # [B, H, T, W, C]: shard T
-        out_specs=P(None, axis_name),        # [B, T, h, w, c]: shard T
+        in_specs=(P(), P(da, None, axis_name)),  # [B, H, T, W, C]
+        out_specs=P(da, axis_name),              # [B, T, h, w, c]
         check_vma=False,
     )(variables, video)
     return [lvl[:, tc - 1 :] for lvl in pyramid]
@@ -110,9 +154,11 @@ def time_sharded_decode(
     *,
     training: bool = True,
     axis_name: str = SEQ_AXIS,
+    data_axis: str | None = None,
     rngs=None,
 ) -> jnp.ndarray:
-    """Run ``VideoDecoder`` with the time axis sharded over ``axis_name``.
+    """Run ``VideoDecoder`` with the time axis sharded over ``axis_name``
+    (and the batch dim over ``data_axis`` on a 2-D data x seq mesh).
 
     ``pyramid`` is the encoder's (global) 5-level output; the teacher-
     forcing slice ``[:, :-1]`` (or inference ``[:, -1:]``) is applied
@@ -131,13 +177,14 @@ def time_sharded_decode(
         # vars_ explicit for the same AD reason as time_sharded_encode.
         return dec.apply(
             vars_, pyr_local, z_local, training=training, pre_sliced=True,
-            rngs=rngs,
+            rngs=_shard_rngs(rngs, data_axis),
         )
 
+    da = data_axis
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(None, axis_name), P(None, axis_name)),
-        out_specs=P(None, None, axis_name),  # film-strip [B, H, T, W, C]
+        in_specs=(P(), P(da, axis_name), P(da, axis_name)),
+        out_specs=P(da, None, axis_name),  # film-strip [B, H, T, W, C]
         check_vma=False,
     )(variables, sliced, z)

@@ -48,8 +48,11 @@ __all__ = ["build_seq_train_step", "seq_batch_sharding", "seq_replicated"]
 
 
 def seq_batch_sharding(mesh: Mesh, *, axis_name: str = SEQ_AXIS) -> NamedSharding:
-    """Film-strip batch ``[B, H, T, W, C]`` sharded along time."""
-    return NamedSharding(mesh, P(None, None, axis_name))
+    """Film-strip batch ``[B, H, T, W, C]`` sharded along time — and
+    along batch too when the mesh has a ``data`` axis (2-D data x seq,
+    `data_seq_mesh`)."""
+    da = "data" if "data" in mesh.axis_names else None
+    return NamedSharding(mesh, P(da, None, axis_name))
 
 
 def seq_replicated(mesh: Mesh) -> NamedSharding:
@@ -76,21 +79,56 @@ def build_seq_train_step(
             f"({cfg.total_time_steps}) and pred_time_steps "
             f"({cfg.pred_time_steps})"
         )
+    # 2-D data x seq mesh: batch rows are additionally sharded over the
+    # data axis inside the same shard_map (the recurrence is
+    # embarrassingly parallel over batch), gradients all-reduce over
+    # BOTH axes via the replicated out_shardings, and the global-batch
+    # Sinkhorn's [B, B] coupling is restored by GSPMD feature
+    # all-gathers over the data axis (same collectives the pure-DP
+    # program pins in tests/test_comms.py).
+    data_axis = "data" if "data" in mesh.axis_names else None
+    if data_axis is not None and cfg.batch_size % mesh.shape[data_axis]:
+        raise ValueError(
+            f"data mesh size {mesh.shape[data_axis]} must divide "
+            f"batch_size ({cfg.batch_size})"
+        )
 
     def encode(params, video, rngs):
         return time_sharded_encode(
             mods.encoder, {"params": params}, video, mesh,
-            training=True, axis_name=axis_name, rngs=rngs,
+            training=True, axis_name=axis_name, data_axis=data_axis,
+            rngs=rngs,
         )
 
     def decode(params, pyramid, z, rngs):
         return time_sharded_decode(
             mods.decoder, {"params": params}, pyramid, z, mesh,
-            training=True, axis_name=axis_name, rngs=rngs,
+            training=True, axis_name=axis_name, data_axis=data_axis,
+            rngs=rngs,
+        )
+
+    repl_sharding = seq_replicated(mesh)
+
+    def constrain_loss_inputs(xs):
+        # Replicate the Sinkhorn/pM inputs (global [B,*] feature stacks
+        # and smoothed videos) before the [B, B] cost Grams.  The exact
+        # global-batch divergence needs every row on every device
+        # anyway; stating it as an explicit all-gather-to-replicated
+        # stops GSPMD from instead partitioning the cost dot_generals
+        # with collective-permute reshards.  That permute-free form is
+        # required on the forced-host CPU test mesh: XLA:CPU's permute
+        # rendezvous deadlocks when a second, data-independent permute
+        # family (the GSPMD reshards) races the manual ring-relay
+        # ppermutes (rendezvous.cc 40s abort, observed 2-devices-at-
+        # op-97 / 6-at-op-1).  On TPU it is the same bytes on ICI.
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, repl_sharding),
+            xs,
         )
 
     step = build_train_step(
         cfg, mods, jit=False, encode=encode, decode=decode,
+        constrain_loss_inputs=constrain_loss_inputs,
     )
     repl = seq_replicated(mesh)
     return jax.jit(

@@ -52,6 +52,7 @@ def gan_forward(
     dropout_rng: jax.Array | None = None,
     encode: Callable | None = None,
     decode: Callable | None = None,
+    constrain_loss_inputs: Callable | None = None,
 ):
     """One full forward pass: encode, decode (teacher forcing), smooth,
     discriminate, mixed Sinkhorn + pM.  Returns (loss, pm, new_stats).
@@ -169,6 +170,21 @@ def gan_forward(
         m_real, m_stats = disc_apply(mods.disc_m, m_params, m_stats, real_s)
         m_fake, m_stats = disc_apply(mods.disc_m, m_params, m_stats, fake_s)
 
+    if constrain_loss_inputs is not None:
+        # Sharding hint for the mesh-parallel paths: pin the loss
+        # inputs (smoothed videos + all four discriminator feature
+        # stacks) to an explicit sharding — the seq-parallel train step
+        # replicates them here, so the [B, B] Sinkhorn cost Grams below
+        # compile to plain local matmuls fed by feature all-gathers
+        # instead of GSPMD-chosen permute-resharded distributed dots.
+        # Semantically a no-op; see parallel/seqtrain.py for why the
+        # permute-free form matters (XLA:CPU rendezvous).
+        real_s, fake_s, h_fake, m_real, h_real, m_fake = (
+            constrain_loss_inputs(
+                (real_s, fake_s, h_fake, m_real, h_real, m_fake)
+            )
+        )
+
     scaling = cfg.effective_scaling
     loss = compute_sinkhorn_loss(
         real_s, fake_s, scaling, h_fake, m_real, h_real, m_fake,
@@ -191,6 +207,7 @@ def build_train_step(
     axis_name: str | None = None,
     encode: Callable | None = None,
     decode: Callable | None = None,
+    constrain_loss_inputs: Callable | None = None,
 ) -> Callable[[TrainState, jnp.ndarray], tuple[TrainState, dict[str, jnp.ndarray]]]:
     """Returns ``train_step(state, real_data) -> (state, metrics)``.
 
@@ -247,6 +264,7 @@ def build_train_step(
                 h_params, m_params, state.h_stats, state.m_stats,
                 real_data, z1, sigma, dropout_rng=kd_disc,
                 encode=encode, decode=decode,
+                constrain_loss_inputs=constrain_loss_inputs,
             )
             return -loss + pm, (loss, pm, h_stats, m_stats)
 
@@ -270,6 +288,7 @@ def build_train_step(
                 h_params, m_params, h_stats, m_stats,
                 real_data, z2, sigma, dropout_rng=kd_gen,
                 encode=encode, decode=decode,
+                constrain_loss_inputs=constrain_loss_inputs,
             )
             return loss, (hs, ms)
 
