@@ -121,6 +121,10 @@ def main() -> int:
     p.add_argument("--conv-packing", default="off", choices=["auto", "off"],
                    help="space-to-depth MXU-lane packing of stride-1 "
                         "small-filter ConvLSTMs")
+    p.add_argument("--kernel-impl", default="scan",
+                   choices=["scan", "pallas", "auto"],
+                   help="ConvLSTM recurrence engine (fused Pallas kernel "
+                        "vs lax.scan; models/pallas_convlstm.py)")
     args = p.parse_args()
 
     shape = BENCH_CONFIGS[args.config]
@@ -153,6 +157,7 @@ def main() -> int:
         scan_unroll=args.unroll,
         scan_remat_policy=args.remat_policy,
         conv_packing=args.conv_packing,
+        kernel_impl=args.kernel_impl,
         model=ModelConfig(x_height=64, x_width=64, n_channels=args.channels),
     )
     print(

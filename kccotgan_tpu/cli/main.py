@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="space-to-depth MXU-lane packing of stride-1 "
                         "small-filter ConvLSTMs ('off' = bit-exact "
                         "unpacked numerics; models/conv_packing.py)")
+    p.add_argument("--kernel_impl", type=str, default="scan",
+                   choices=["scan", "pallas", "auto"],
+                   help="ConvLSTM recurrence engine: lax.scan oracle, "
+                        "fused Pallas kernel, or auto (pallas on TPU; "
+                        "models/pallas_convlstm.py)")
     p.add_argument("--profile_steps", type=str, default="",
                    help="'start,stop' step window to capture an XLA trace "
                         "into <run_dir>/profile (e.g. '5,8')")
@@ -117,7 +122,7 @@ _TRAIN_DESTS = {
     "reg_penalty": "reg_penalty", "cost_method": "cost_method",
     "solver": "sinkhorn_solver", "compute_dtype": "compute_dtype",
     "remat_policy": "scan_remat_policy", "kernel": "kernel",
-    "conv_packing": "conv_packing",
+    "conv_packing": "conv_packing", "kernel_impl": "kernel_impl",
     "init_sigma": "init_sigma", "decaying_sigma": "decaying_sigma",
     "lr": "lr", "warmup": "warmup_steps", "num_devices": "num_devices",
     "seq_devices": "seq_devices",
@@ -207,6 +212,7 @@ def config_from_args(
         compute_dtype=args.compute_dtype,
         scan_remat_policy=args.remat_policy,
         conv_packing=args.conv_packing,
+        kernel_impl=args.kernel_impl,
         kernel=args.kernel,
         init_sigma=args.init_sigma,
         decaying_sigma=args.decaying_sigma,

@@ -124,6 +124,13 @@ class TrainConfig:
     # convs; the relayouts added ~10 GB/step of HBM traffic, PARITY.md),
     # so the default is 'off'; kept as an opt-in experiment knob.
     conv_packing: str = "off"
+    # ConvLSTM recurrence engine: 'scan' = lax.scan over T (the
+    # bit-replication oracle), 'pallas' = fused single-kernel recurrence
+    # ((h, c) VMEM-resident for all T, no B<->T transposes —
+    # models/pallas_convlstm.py), 'auto' = pallas on TPU / scan
+    # elsewhere.  Layers the kernel does not cover (dropout>0, packing,
+    # seq_axis) silently fall back to scan per-layer.
+    kernel_impl: str = "scan"
 
     # Run the 4 discriminator passes (h/m x real/fake) as ONE vmapped
     # call over stacked params: 4x fewer scan launches at 4x batch.

@@ -153,6 +153,13 @@ class ConvLSTM2D(nn.Module):
     # channels, ~2.3x fewer MXU tile-passes (models/conv_packing.py).
     # 'off' = bit-replication mode (packing changes reduction order).
     conv_packing: str = "off"
+    # Recurrence engine: 'scan' = lax.scan over T (the bit-replication
+    # oracle); 'pallas' = the fused single-kernel recurrence
+    # (models/pallas_convlstm.py — (h, c) VMEM-resident for all T, no
+    # B<->T transposes).  'pallas' silently falls back to 'scan' for
+    # the paths the kernel does not cover (dropout, packing, seq_axis,
+    # non-sigmoid/tanh activations).
+    kernel_impl: str = "scan"
 
     def _pack_factor(self, h: int, w: int, training: bool) -> int:
         if (
@@ -280,6 +287,37 @@ class ConvLSTM2D(nn.Module):
                 out_dtype=cdt,
             )
             ho, wo = xconv.shape[1], xconv.shape[2]
+            use_pallas = (
+                self.kernel_impl == "pallas"
+                and not use_rec_dropout
+                and self.seq_axis is None
+                and self.activation == "tanh"
+                and self.recurrent_activation == "sigmoid"
+            )
+            if use_pallas:
+                # Fused single-kernel recurrence: consumes the hoisted
+                # stack in its natural [B, T, ...] layout (no B<->T
+                # transpose pair) and keeps (h, c) in VMEM for all T.
+                from .pallas_convlstm import convlstm_scan_pallas
+
+                xconv_bt = xconv.reshape(b, t, ho, wo, 4 * f)
+                if initial_state is None:
+                    h0p = jnp.zeros((b, ho, wo, f), jnp.float32)
+                    c0p = jnp.zeros((b, ho, wo, f), jnp.float32)
+                else:
+                    h0p, c0p = initial_state
+                bias_p = (
+                    bias if bias is not None
+                    else jnp.zeros((4 * f,), jnp.float32)
+                )
+                out, carry = convlstm_scan_pallas(
+                    xconv_bt, h0p, c0p, rec_kernel, bias_p,
+                    self.activation, self.recurrent_activation,
+                )
+                out = out.astype(jnp.float32)
+                if return_state:
+                    return out, carry
+                return out
             # [B*T, H', W', 4f] -> [T, B, H', W', 4f] for scan
             xconv = xconv.reshape(b, t, ho, wo, 4 * f).transpose(1, 0, 2, 3, 4)
             fr, bias_eff, rconv_fn = f, bias, None

@@ -78,6 +78,10 @@ class VideoEncoder(nn.Module):
     # bit-replication mode.  Encoder layers are stride-2 so this is
     # currently a no-op here; threaded for config uniformity.
     conv_packing: str = "off"
+    # Recurrence engine per ConvLSTM: 'scan' (lax.scan oracle) or
+    # 'pallas' (fused single-kernel recurrence, models/pallas_convlstm.py;
+    # falls back to scan per-layer where unsupported).
+    kernel_impl: str = "scan"
 
     @nn.compact
     def __call__(
@@ -120,6 +124,7 @@ class VideoEncoder(nn.Module):
                 unroll=self.scan_unroll,
                 seq_axis=self.seq_axis,
                 conv_packing=self.conv_packing,
+                kernel_impl=self.kernel_impl,
                 name=f"encoder{i + 1}",
             )(
                 h,
@@ -179,6 +184,8 @@ class VideoDecoder(nn.Module):
     # decoder5, the full-resolution 8x8-kernel layer whose 4f=32 gate
     # channels otherwise use 32 of 128 MXU lanes (conv_packing.py).
     conv_packing: str = "off"
+    # Recurrence engine per ConvLSTM (see VideoEncoder.kernel_impl).
+    kernel_impl: str = "scan"
 
     @nn.compact
     def __call__(
@@ -235,6 +242,7 @@ class VideoDecoder(nn.Module):
                 unroll=self.scan_unroll,
                 seq_axis=self.seq_axis,
                 conv_packing=self.conv_packing,
+                kernel_impl=self.kernel_impl,
                 name=dec_name,
             )(h, training=training)
             h = maybe_norm(h, dec_name + "_norm")
@@ -257,6 +265,7 @@ class VideoDecoder(nn.Module):
             unroll=self.scan_unroll,
             seq_axis=self.seq_axis,
             conv_packing=self.conv_packing,
+            kernel_impl=self.kernel_impl,
             name="decoder5",
         )(h, training=training)
         h = maybe_norm(h, "decoder5_norm")

@@ -44,6 +44,13 @@ class GanModules:
     def __init__(self, cfg: TrainConfig):
         m = cfg.model
         self.cfg = cfg
+        kernel_impl = cfg.kernel_impl
+        if kernel_impl == "auto":
+            import jax
+
+            kernel_impl = (
+                "pallas" if jax.default_backend() == "tpu" else "scan"
+            )
         self.encoder = VideoEncoder(
             int_time_steps=cfg.int_time_steps,
             filter_size=m.g_filter_size,
@@ -55,6 +62,7 @@ class GanModules:
             scan_remat_policy=cfg.scan_remat_policy,
             scan_unroll=cfg.scan_unroll,
             conv_packing=cfg.conv_packing,
+            kernel_impl=kernel_impl,
         )
         self.decoder = VideoDecoder(
             x_height=m.x_height,
@@ -70,6 +78,7 @@ class GanModules:
             scan_remat_policy=cfg.scan_remat_policy,
             scan_unroll=cfg.scan_unroll,
             conv_packing=cfg.conv_packing,
+            kernel_impl=kernel_impl,
         )
         disc_kwargs = dict(
             state_size=m.d_state_size,

@@ -1,0 +1,114 @@
+"""Fused Pallas ConvLSTM recurrence vs the lax.scan oracle.
+
+Runs in interpret mode on CPU (same dispatch as the Pallas Sinkhorn
+tests): the kernel's math — forward, and the reverse-time adjoint for
+all five inputs — must match the ConvLSTM2D scan path to f32 roundoff.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kccotgan_tpu.models.layers import ConvLSTM2D
+from kccotgan_tpu.models.pallas_convlstm import convlstm_scan_pallas
+
+
+def _mk_layer(impl, **kw):
+    base = dict(
+        filters=4, kernel_size=(3, 3), strides=(1, 1), use_bias=True,
+        compute_dtype="float32", kernel_impl=impl,
+    )
+    base.update(kw)
+    return ConvLSTM2D(**base)
+
+
+@pytest.fixture(scope="module")
+def data(rng):
+    x = jnp.asarray(rng.normal(size=(2, 5, 8, 8, 3)) * 0.5, jnp.float32)
+    params = _mk_layer("scan").init(jax.random.PRNGKey(0), x)
+    return x, params
+
+
+def test_forward_matches_scan(data):
+    x, params = data
+    y_scan = _mk_layer("scan").apply(params, x)
+    y_pal = _mk_layer("pallas").apply(params, x)
+    np.testing.assert_allclose(y_pal, y_scan, rtol=1e-6, atol=1e-6)
+
+
+def test_forward_strided_and_state(data, rng):
+    """Stride-2 hoisted conv + carry-in/carry-out both route through
+    the kernel identically to the scan."""
+    x, _ = data
+    layer_s = _mk_layer("scan", strides=(2, 2))
+    layer_p = _mk_layer("pallas", strides=(2, 2))
+    params = layer_s.init(jax.random.PRNGKey(1), x)
+    h0 = jnp.asarray(rng.normal(size=(2, 4, 4, 4)) * 0.3, jnp.float32)
+    c0 = jnp.asarray(rng.normal(size=(2, 4, 4, 4)) * 0.3, jnp.float32)
+    y_s, (hn_s, cn_s) = layer_s.apply(
+        params, x, initial_state=(h0, c0), return_state=True
+    )
+    y_p, (hn_p, cn_p) = layer_p.apply(
+        params, x, initial_state=(h0, c0), return_state=True
+    )
+    np.testing.assert_allclose(y_p, y_s, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(hn_p, hn_s, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(cn_p, cn_s, rtol=1e-6, atol=1e-6)
+
+
+def test_gradients_match_scan(data):
+    """Param + input grads through the custom-VJP reverse-time kernel
+    == autodiff through the scan, for a loss touching every output."""
+    x, params = data
+
+    def loss(impl):
+        def f(p, xx):
+            y = _mk_layer(impl).apply(p, xx)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape)))
+        return f
+
+    g_s = jax.grad(loss("scan"), argnums=(0, 1))(params, x)
+    g_p = jax.grad(loss("pallas"), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-5)
+
+
+def test_even_kernel_same_padding(rng):
+    """k=8 (decoder4/5's kernel): TF 'SAME' asymmetric padding must
+    match lax.conv exactly."""
+    x = jnp.asarray(rng.normal(size=(1, 3, 8, 8, 2)) * 0.5, jnp.float32)
+    layer_s = _mk_layer("scan", filters=2, kernel_size=(8, 8))
+    layer_p = _mk_layer("pallas", filters=2, kernel_size=(8, 8))
+    params = layer_s.init(jax.random.PRNGKey(2), x)
+    np.testing.assert_allclose(
+        layer_p.apply(params, x), layer_s.apply(params, x),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_unsupported_paths_fall_back(data):
+    """recurrent_dropout / seq_axis configs silently use the scan."""
+    x, params = data
+    layer = _mk_layer("pallas", recurrent_dropout=0.5)
+    y = layer.apply(
+        params, x, training=True,
+        rngs={"dropout": jax.random.PRNGKey(3)},
+    )
+    assert y.shape == (2, 5, 8, 8, 4)  # ran (on the scan path)
+
+
+def test_raw_kernel_bf16_semantics(rng):
+    """bf16 stack in, f32 gate math, bf16 y out — the kernel mirrors
+    the scan's precision contract (rconv rounded once to bf16)."""
+    b, t, ho, wo, f = 2, 4, 8, 8, 4
+    x = jnp.asarray(rng.normal(size=(b, t, ho, wo, 4 * f)), jnp.bfloat16)
+    h0 = jnp.zeros((b, ho, wo, f), jnp.float32)
+    c0 = jnp.zeros((b, ho, wo, f), jnp.float32)
+    rk = jnp.asarray(rng.normal(size=(3, 3, f, 4 * f)) * 0.2, jnp.float32)
+    bias = jnp.zeros((4 * f,), jnp.float32)
+    y, (hn, cn) = convlstm_scan_pallas(x, h0, c0, rk, bias)
+    assert y.dtype == jnp.bfloat16
+    assert hn.dtype == cn.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(y.astype(jnp.float32))))
