@@ -36,8 +36,10 @@ class Trainer:
         self.seq_mesh = seq_mesh
         if mesh is not None and seq_mesh is not None:
             raise ValueError(
-                "data and sequence parallelism are 1-D meshes for now — "
-                "pass either mesh or seq_mesh, not both"
+                "pass either mesh or seq_mesh, not both — for combined "
+                "data x sequence parallelism pass the 2-D data_seq_mesh "
+                "as seq_mesh (what the CLI does for --num_devices N "
+                "--seq_devices S)"
             )
         if seq_mesh is not None:
             from ..parallel import build_seq_train_step, seq_replicated

@@ -84,6 +84,44 @@ def test_dp_program_collective_set():
     assert any(s.split("[")[1].startswith("8,") for s in gathered), gathered
 
 
+def test_seq_program_collective_set():
+    """The 2-D (data x seq) program adds exactly one collective family
+    over pure DP: collective-permute — the ring relay handing the
+    ConvLSTM (h, c) carries between time shards.  Grad all-reduces and
+    the loss-input gathers are still present; nothing else appears."""
+    from kccotgan_tpu.parallel import (
+        build_seq_train_step, data_seq_mesh, seq_batch_sharding,
+        seq_replicated,
+    )
+
+    cfg = _tiny_cfg(
+        batch_size=4,
+        total_time_steps=8,
+        int_time_steps=4,  # pred = 4: both divide the seq size (4)
+        num_devices=2,
+        seq_devices=4,
+    )
+    mesh = data_seq_mesh(2, 4)
+    mods = GanModules(cfg)
+    state = jax.device_put(
+        create_train_state(cfg, jax.random.PRNGKey(0)), seq_replicated(mesh)
+    )
+    batch = jax.device_put(
+        jnp.array(bouncing_blobs(cfg.batch_size, cfg.total_time_steps, 16, 16)),
+        seq_batch_sharding(mesh),
+    )
+    text = (
+        build_seq_train_step(cfg, mods, mesh)
+        .lower(state, batch).compile().as_text()
+    )
+    if not isinstance(text, str):
+        text = "\n".join(text)
+    kinds = {o["op"] for o in collect_collectives(text)}
+    assert "collective-permute" in kinds, kinds  # the ring relay
+    assert "all-reduce" in kinds, kinds          # replicated-param grads
+    assert kinds <= {"all-gather", "all-reduce", "collective-permute"}, kinds
+
+
 def test_comms_summary_prices_ops():
     summary = comms_summary(_compiled_hlo(_tiny_cfg()), 8)
     assert summary["collective_count"] > 0

@@ -54,6 +54,12 @@ def main() -> int:
                         "interpret mode on CPU and bloats compile time")
     p.add_argument("--local", action="store_true",
                    help="report the per-shard (shard_map+pmean) mode instead")
+    p.add_argument("--seq", type=int, default=1,
+                   help="seq-mesh size: >1 reports the sequence-parallel "
+                        "program (2-D data x seq when devices > seq) — "
+                        "ring-relay ppermutes + grad all-reduces + loss-"
+                        "input gathers.  total/pred time steps must "
+                        "divide by it")
     args = p.parse_args()
 
     # Virtual device mesh BEFORE backend init (never point this CPU
@@ -85,21 +91,40 @@ def main() -> int:
         donate_buffers=False,
         global_batch_sinkhorn=not args.local,
         num_devices=args.devices,
+        seq_devices=args.seq,
         model=ModelConfig(
             x_height=args.height, x_width=args.width, n_channels=args.channels
         ),
     )
-    mesh = make_mesh(args.devices)
     mods = GanModules(cfg)
-    state = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
-    batch = shard_batch(
-        jnp.array(bouncing_blobs(
-            args.batch, args.time_steps, args.height, args.width,
-            channels=args.channels, seed=0,
-        )),
-        mesh,
-    )
-    step = build_sharded_train_step(cfg, mods, mesh)
+    data = jnp.array(bouncing_blobs(
+        args.batch, args.time_steps, args.height, args.width,
+        channels=args.channels, seed=0,
+    ))
+    if args.seq > 1:
+        from kccotgan_tpu.parallel import (
+            build_seq_train_step, data_seq_mesh, seq_batch_sharding,
+            seq_mesh, seq_replicated,
+        )
+
+        n_data = args.devices // args.seq
+        mesh = (
+            data_seq_mesh(n_data, args.seq) if n_data > 1
+            else seq_mesh(args.seq)
+        )
+        state = jax.device_put(
+            create_train_state(cfg, jax.random.PRNGKey(0)),
+            seq_replicated(mesh),
+        )
+        batch = jax.device_put(data, seq_batch_sharding(mesh))
+        step = build_seq_train_step(cfg, mods, mesh)
+    else:
+        mesh = make_mesh(args.devices)
+        state = replicate_state(
+            create_train_state(cfg, jax.random.PRNGKey(0)), mesh
+        )
+        batch = shard_batch(data, mesh)
+        step = build_sharded_train_step(cfg, mods, mesh)
     compiled = step.lower(state, batch).compile()
     text = compiled.as_text()
     if not isinstance(text, str):
@@ -117,7 +142,15 @@ def main() -> int:
 
     total_bytes = sum(o["bytes"] for o in ops)
     total_us = round(sum(o["ici_us"] for o in ops), 2)
-    mode = "local-shard (pmean)" if args.local else "global-batch GSPMD"
+    if args.seq > 1:
+        mode = (
+            f"seq-parallel {args.devices // args.seq}x{args.seq} data x seq"
+            if args.devices > args.seq else f"seq-parallel 1-D x{args.seq}"
+        )
+    elif args.local:
+        mode = "local-shard (pmean)"
+    else:
+        mode = "global-batch GSPMD"
     print(
         f"# comms[{mode}] {n}-dev mesh, B={args.batch} T={args.time_steps} "
         f"{args.height}x{args.width}x{args.channels}: {len(ops)} collectives, "
