@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["convlstm_scan_pallas", "supported"]
+__all__ = ["convlstm_scan_pallas"]
 
 
 def _interpret() -> bool:
@@ -58,17 +58,6 @@ def _act(name: str):
     if name == "linear":
         return lambda x: x
     raise ValueError(f"unsupported activation for pallas convlstm: {name!r}")
-
-
-def supported(*, dropout: float, recurrent_dropout: float, seq_axis,
-              conv_packing_factor: int, training: bool) -> bool:
-    """The fused kernel covers the default inference/training path:
-    no per-gate dropout masks, no space-to-depth packing, no ring relay."""
-    if seq_axis is not None or conv_packing_factor != 1:
-        return False
-    if training and (dropout > 0.0 or recurrent_dropout > 0.0):
-        return False
-    return True
 
 
 def _same_pads(k: int) -> tuple[int, int]:
@@ -276,7 +265,7 @@ def _bwd_kernel(x_ref, y_ref, cs_ref, h0_ref, c0_ref, rk_ref, b_ref,
     dfg = dc * c_prev
     dg = dc * i
     # sigmoid'(z) = s(1-s); tanh'(z) = 1-t^2 (rec_act/act are fixed to
-    # these two in the supported() contract).
+    # these two by the layer's use_pallas dispatch condition).
     dzi = di * i * (1.0 - i)
     dzf = dfg * fg * (1.0 - fg)
     dzc = dg * (1.0 - g * g)
