@@ -99,6 +99,50 @@ def test_unsupported_paths_fall_back(data):
     assert y.shape == (2, 5, 8, 8, 4)  # ran (on the scan path)
 
 
+def test_full_train_step_parity_scan_vs_pallas():
+    """One full GAN train step (both phases, grads through the
+    custom-VJP reverse kernel, all four Adam updates) with
+    kernel_impl='pallas' == the lax.scan step, on a tiny config."""
+    from kccotgan_tpu.config import ModelConfig, TrainConfig
+    from kccotgan_tpu.data import bouncing_blobs
+    from kccotgan_tpu.train import (
+        GanModules, build_train_step, create_train_state,
+    )
+
+    kw = dict(
+        dname="synthetic", batch_size=2, compute_dtype="float32",
+        total_time_steps=6, int_time_steps=3, sinkhorn_l=5,
+        donate_buffers=False, sinkhorn_solver="scan",
+        model=ModelConfig(
+            x_height=16, x_width=16, n_channels=1,
+            g_filter_size=2, d_filter_size=2,
+            g_state_size=3, d_state_size=3,
+            z_channels=4, z_height=1, z_width=1,
+        ),
+    )
+    batch = jnp.array(bouncing_blobs(2, 6, 16, 16, seed=3))
+    got = {}
+    for impl in ("scan", "pallas"):
+        cfg = TrainConfig(kernel_impl=impl, **kw)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = build_train_step(cfg, GanModules(cfg), jit=True, donate=False)
+        state, metrics = step(state, batch)
+        got[impl] = (metrics, state)
+    np.testing.assert_allclose(
+        float(got["pallas"][0]["sinkhorn_loss"]),
+        float(got["scan"][0]["sinkhorn_loss"]), rtol=1e-5,
+    )
+    for name in ("enc_params", "dec_params"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(getattr(got["pallas"][1], name)),
+            jax.tree_util.tree_leaves(getattr(got["scan"][1], name)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+                err_msg=name,
+            )
+
+
 def test_raw_kernel_bf16_semantics(rng):
     """bf16 stack in, f32 gate math, bf16 y out — the kernel mirrors
     the scan's precision contract (rconv rounded once to bf16)."""
