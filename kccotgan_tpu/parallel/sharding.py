@@ -52,6 +52,25 @@ def build_sharded_train_step(
     bsh = batch_sharding(mesh)
 
     if cfg.global_batch_sinkhorn:
+        if mesh.size > 1 and getattr(mods, "kernel_impl", "scan") == "pallas":
+            # The exact mode relies on XLA's SPMD partitioner slicing the
+            # recurrence across the batch axis; a Mosaic custom call is
+            # opaque to it (best case it replicates the whole [B,T,...]
+            # stack onto every device).  The batch-parallel Pallas engine
+            # composes with the LOCAL shard_map mode below instead; here
+            # we keep the scan engine, which GSPMD partitions exactly.
+            import dataclasses
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "kernel_impl=pallas does not partition under the exact "
+                "global-batch GSPMD mode (%d devices); using the scan "
+                "engine for this program. The Pallas engine is used for "
+                "single-device and shard_map (global_batch_sinkhorn="
+                "False) training.",
+                mesh.size,
+            )
+            mods = GanModules(dataclasses.replace(cfg, kernel_impl="scan"))
         step = build_train_step(cfg, mods, jit=False)
         return jax.jit(
             step,

@@ -51,6 +51,7 @@ class GanModules:
             kernel_impl = (
                 "pallas" if jax.default_backend() == "tpu" else "scan"
             )
+        self.kernel_impl = kernel_impl
         self.encoder = VideoEncoder(
             int_time_steps=cfg.int_time_steps,
             filter_size=m.g_filter_size,

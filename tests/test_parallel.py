@@ -107,6 +107,52 @@ def test_local_shard_mode_runs(batch):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_global_mode_pallas_falls_back_to_scan(batch, caplog):
+    """GSPMD cannot partition an opaque Mosaic custom call across the
+    batch axis, so the exact global-batch mode must swap the Pallas
+    recurrence engine for the scan engine (bit-identical program) and
+    say so.  The Pallas engine stays available in the shard_map mode."""
+    import logging
+
+    cfg = _cfg(global_batch_sinkhorn=True, kernel_impl="pallas")
+    mods = GanModules(cfg)
+    assert mods.kernel_impl == "pallas"
+    mesh = make_mesh()
+    with caplog.at_level(logging.WARNING, "kccotgan_tpu.parallel.sharding"):
+        sharded = build_sharded_train_step(cfg, mods, mesh)
+    assert any("scan engine" in r.message for r in caplog.records)
+
+    st = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    s_p, m_p = sharded(st, shard_batch(batch, mesh))
+    jax.block_until_ready(m_p)
+
+    scan_cfg = _cfg(global_batch_sinkhorn=True, kernel_impl="scan")
+    scan_step = build_sharded_train_step(scan_cfg, GanModules(scan_cfg), mesh)
+    st2 = replicate_state(
+        create_train_state(scan_cfg, jax.random.PRNGKey(0)), mesh
+    )
+    s_s, m_s = scan_step(st2, shard_batch(batch, mesh))
+    jax.block_until_ready(m_s)
+    np.testing.assert_array_equal(
+        np.asarray(m_p["sinkhorn_loss"]), np.asarray(m_s["sinkhorn_loss"])
+    )
+
+
+def test_local_shard_mode_pallas_runs(batch):
+    """The batch-parallel Pallas engine composes with shard_map DP:
+    each device runs the fused recurrence on its local shard."""
+    cfg = _cfg(global_batch_sinkhorn=False, kernel_impl="pallas")
+    mods = GanModules(cfg)
+    assert mods.kernel_impl == "pallas"
+    mesh = make_mesh()
+    sharded = build_sharded_train_step(cfg, mods, mesh)
+    st = replicate_state(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+    s, m = sharded(st, shard_batch(batch, mesh))
+    jax.block_until_ready(m)
+    assert np.isfinite(float(m["sinkhorn_loss"]))
+    assert int(jax.device_get(s.step)) == 1
+
+
 def test_global_sinkhorn_couples_shards(batch):
     """The exact mode must see the GLOBAL batch in the cost matrix:
     permuting which device holds which sample must not change the loss."""
