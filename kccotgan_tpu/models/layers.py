@@ -422,6 +422,12 @@ class LSTM(nn.Module):
     remat_policy: str = "carry_only"  # see _remat
     unroll: int = 1
     seq_axis: str | None = None  # same contract as ConvLSTM2D.seq_axis
+    # Recurrence engine: 'scan' = lax.scan over T (bit-replication
+    # oracle); 'pallas' = the fused single-kernel recurrence
+    # (models/pallas_lstm.py).  'pallas' silently falls back to 'scan'
+    # for paths the kernel does not cover (seq_axis, activations other
+    # than tanh/sigmoid over a sigmoid recurrent activation).
+    kernel_impl: str = "scan"
 
     @nn.compact
     def __call__(self, x_seq: jnp.ndarray, *, training: bool = True) -> jnp.ndarray:
@@ -454,6 +460,27 @@ class LSTM(nn.Module):
             kernel.astype(cdt),
             dimension_numbers=(((1,), (0,)), ((), ())),
         )
+
+        use_pallas = (
+            self.kernel_impl == "pallas"
+            and self.seq_axis is None
+            and self.activation in ("tanh", "sigmoid")
+            and self.recurrent_activation == "sigmoid"
+        )
+        if use_pallas:
+            # Fused single-kernel recurrence: consumes the hoisted
+            # projection in its natural [B, T, 4U] layout (no B<->T
+            # transpose pair) and keeps (h, c) in VMEM for all T.
+            from .pallas_lstm import lstm_scan_pallas
+
+            h0 = jnp.zeros((b, u), dtype=jnp.float32)
+            c0 = jnp.zeros((b, u), dtype=jnp.float32)
+            out, _ = lstm_scan_pallas(
+                xproj.reshape(b, t, 4 * u), h0, c0, rec_kernel, bias,
+                self.activation, self.recurrent_activation,
+            )
+            return out.astype(jnp.float32)
+
         xproj = xproj.reshape(b, t, 4 * u).transpose(1, 0, 2)
 
         def step(carry, xt):

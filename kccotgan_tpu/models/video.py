@@ -288,6 +288,8 @@ class VideoDiscriminator(nn.Module):
     scan_remat: bool = False
     scan_remat_policy: str = "carry_only"
     scan_unroll: int = 1
+    # Recurrence engine for the LSTM stack (see layers.LSTM.kernel_impl).
+    kernel_impl: str = "scan"
 
     @nn.compact
     def __call__(self, video: jnp.ndarray, *, training: bool = True) -> jnp.ndarray:
@@ -307,13 +309,13 @@ class VideoDiscriminator(nn.Module):
                 )(x)
             x = leaky_relu(x)
         x = x.reshape(b, t, -1)
-        x = LSTM(units=f * 8, compute_dtype=self.compute_dtype, remat=self.scan_remat, remat_policy=self.scan_remat_policy, unroll=self.scan_unroll, name="lstm1")(x, training=training)
+        x = LSTM(units=f * 8, compute_dtype=self.compute_dtype, remat=self.scan_remat, remat_policy=self.scan_remat_policy, unroll=self.scan_unroll, kernel_impl=self.kernel_impl, name="lstm1")(x, training=training)
         if self.use_batch_norm:
             x = nn.BatchNorm(
                 use_running_average=not training,
                 momentum=_BN_MOMENTUM, epsilon=_BN_EPS, name="rnn_bn1",
             )(x)
-        x = LSTM(units=f * 4, compute_dtype=self.compute_dtype, remat=self.scan_remat, remat_policy=self.scan_remat_policy, unroll=self.scan_unroll, name="lstm2")(x, training=training)
+        x = LSTM(units=f * 4, compute_dtype=self.compute_dtype, remat=self.scan_remat, remat_policy=self.scan_remat_policy, unroll=self.scan_unroll, kernel_impl=self.kernel_impl, name="lstm2")(x, training=training)
         if self.use_batch_norm:
             x = nn.BatchNorm(
                 use_running_average=not training,
@@ -324,6 +326,7 @@ class VideoDiscriminator(nn.Module):
             compute_dtype=self.compute_dtype,
             remat=self.scan_remat,
             remat_policy=self.scan_remat_policy,
-            unroll=self.scan_unroll, name="lstm3",
+            unroll=self.scan_unroll,
+            kernel_impl=self.kernel_impl, name="lstm3",
         )(x, training=training)
         return x

@@ -89,6 +89,7 @@ class GanModules:
             scan_remat=cfg.scan_remat,
             scan_remat_policy=cfg.scan_remat_policy,
             scan_unroll=cfg.scan_unroll,
+            kernel_impl=kernel_impl,
         )
         self.disc_h = VideoDiscriminator(**disc_kwargs)
         self.disc_m = VideoDiscriminator(**disc_kwargs)

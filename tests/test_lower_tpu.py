@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import pytest
 
 import kccotgan_tpu.models.pallas_convlstm as pallas_convlstm
+import kccotgan_tpu.models.pallas_lstm as pallas_lstm
 import kccotgan_tpu.ot.pallas_sinkhorn as pallas_sinkhorn
 
 
@@ -25,6 +26,7 @@ import kccotgan_tpu.ot.pallas_sinkhorn as pallas_sinkhorn
 def force_mosaic(monkeypatch):
     """Make the kernels take the real (non-interpret) lowering path."""
     monkeypatch.setattr(pallas_convlstm, "_interpret", lambda: False)
+    monkeypatch.setattr(pallas_lstm, "_interpret", lambda: False)
     monkeypatch.setattr(pallas_sinkhorn, "_interpret", lambda: False)
 
 
@@ -38,6 +40,24 @@ def test_convlstm_fwd_bwd_lowers_for_tpu(force_mosaic):
 
     def loss(x, h0, c0, rk, b):
         y, (hn, cn) = pallas_convlstm.convlstm_scan_pallas(x, h0, c0, rk, b)
+        return jnp.sum(y.astype(jnp.float32)) + jnp.sum(hn) + jnp.sum(cn)
+
+    f = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+    exported = jax.export.export(f, platforms=["tpu"])(x, h0, c0, rk, b)
+    assert len(exported.mlir_module()) > 0
+
+
+@pytest.mark.parametrize("act", ["tanh", "sigmoid"])
+def test_lstm_fwd_bwd_lowers_for_tpu(force_mosaic, act):
+    B, T, U = 32, 20, 64  # flagship discriminator lstm1 shape
+    x = jnp.zeros((B, T, 4 * U), jnp.bfloat16)
+    h0 = jnp.zeros((B, U), jnp.float32)
+    c0 = jnp.zeros((B, U), jnp.float32)
+    rk = jnp.zeros((U, 4 * U), jnp.float32)
+    b = jnp.zeros((4 * U,), jnp.float32)
+
+    def loss(x, h0, c0, rk, b):
+        y, (hn, cn) = pallas_lstm.lstm_scan_pallas(x, h0, c0, rk, b, act)
         return jnp.sum(y.astype(jnp.float32)) + jnp.sum(hn) + jnp.sum(cn)
 
     f = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))

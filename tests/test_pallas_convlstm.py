@@ -132,7 +132,7 @@ def test_full_train_step_parity_scan_vs_pallas():
         float(got["pallas"][0]["sinkhorn_loss"]),
         float(got["scan"][0]["sinkhorn_loss"]), rtol=1e-5,
     )
-    for name in ("enc_params", "dec_params"):
+    for name in ("enc_params", "dec_params", "h_params", "m_params"):
         for a, b in zip(
             jax.tree_util.tree_leaves(getattr(got["pallas"][1], name)),
             jax.tree_util.tree_leaves(getattr(got["scan"][1], name)),

@@ -54,6 +54,7 @@ def main() -> int:
     from bench import BENCH_CONFIGS
 
     import kccotgan_tpu.models.pallas_convlstm as pallas_convlstm
+    import kccotgan_tpu.models.pallas_lstm as pallas_lstm
     import kccotgan_tpu.ot.pallas_sinkhorn as pallas_sinkhorn
     from kccotgan_tpu.config import ModelConfig, TrainConfig
     from kccotgan_tpu.data import bouncing_blobs
@@ -91,6 +92,7 @@ def main() -> int:
     print(f"# setup {time.time() - t0:.0f}s", file=sys.stderr)
 
     pallas_convlstm._interpret = lambda: False
+    pallas_lstm._interpret = lambda: False
     if hasattr(pallas_sinkhorn, "_interpret"):
         pallas_sinkhorn._interpret = lambda: False
 
