@@ -75,6 +75,36 @@ def test_gradients_match_scan(data):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-5)
 
 
+def test_multi_batch_tile_grads_match(rng, monkeypatch):
+    """nb > 1 batch tiles (the flagship regime — _batch_tile gives
+    nb=4 at enc1's B=32 shape): dW/db accumulate in VMEM scratch
+    ACROSS tiles.  Force two tiles at a tiny shape."""
+    import kccotgan_tpu.models.pallas_convlstm as mod
+
+    monkeypatch.setattr(
+        mod, "_batch_tile", lambda b, ho, wo, f, item: b // 2
+    )
+    x = jnp.asarray(rng.normal(size=(4, 3, 8, 8, 3)) * 0.5, jnp.float32)
+    params = _mk_layer("scan").init(jax.random.PRNGKey(5), x)
+
+    def loss(impl):
+        def f(p, xx):
+            y = _mk_layer(impl).apply(p, xx)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape)))
+        return f
+
+    np.testing.assert_allclose(
+        _mk_layer("pallas").apply(params, x),
+        _mk_layer("scan").apply(params, x),
+        rtol=1e-6, atol=1e-6,
+    )
+    g_s = jax.grad(loss("scan"), argnums=(0, 1))(params, x)
+    g_p = jax.grad(loss("pallas"), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-5)
+
+
 def test_even_kernel_same_padding(rng):
     """k=8 (decoder4/5's kernel): TF 'SAME' asymmetric padding must
     match lax.conv exactly."""

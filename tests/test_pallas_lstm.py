@@ -106,6 +106,33 @@ def test_raw_kernel_bf16_semantics(rng):
     assert bool(jnp.all(jnp.isfinite(y.astype(jnp.float32))))
 
 
+def test_multi_batch_tile_grads_match(rng, monkeypatch):
+    """nb > 1 batch tiles (the flagship regime): dW/db accumulate in
+    VMEM scratch ACROSS tiles — zeroed only at grid step (0, 0),
+    written only at the last.  Force two tiles at a tiny shape."""
+    import kccotgan_tpu.models.pallas_lstm as mod
+
+    monkeypatch.setattr(mod, "_batch_tile", lambda b, u, item: b // 2)
+    x = jnp.asarray(rng.normal(size=(4, 5, 6)) * 0.5, jnp.float32)
+    params = _mk("scan").init(jax.random.PRNGKey(4), x)
+
+    def loss(impl):
+        def f(p, xx):
+            y = _mk(impl).apply(p, xx)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape)))
+        return f
+
+    np.testing.assert_allclose(
+        _mk("pallas").apply(params, x), _mk("scan").apply(params, x),
+        rtol=1e-6, atol=1e-6,
+    )
+    g_s = jax.grad(loss("scan"), argnums=(0, 1))(params, x)
+    g_p = jax.grad(loss("pallas"), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-5)
+
+
 def test_discriminator_parity_scan_vs_pallas(rng):
     """The full VideoDiscriminator (CNN + 3-layer LSTM stack incl. the
     sigmoid lstm3) produces identical outputs and grads between
