@@ -121,10 +121,13 @@ def main() -> int:
     p.add_argument("--conv-packing", default="off", choices=["auto", "off"],
                    help="space-to-depth MXU-lane packing of stride-1 "
                         "small-filter ConvLSTMs")
-    p.add_argument("--kernel-impl", default="scan",
+    p.add_argument("--kernel-impl", default=None,
                    choices=["scan", "pallas", "auto"],
-                   help="ConvLSTM recurrence engine (fused Pallas kernel "
-                        "vs lax.scan; models/pallas_convlstm.py)")
+                   help="ConvLSTM/LSTM recurrence engine (fused Pallas "
+                        "kernel vs lax.scan; models/pallas_convlstm.py). "
+                        "Default: the TrainConfig default, so the "
+                        "driver's bench always measures the shipped "
+                        "configuration")
     args = p.parse_args()
 
     shape = BENCH_CONFIGS[args.config]
@@ -146,6 +149,8 @@ def main() -> int:
     from kccotgan_tpu.data import bouncing_blobs
     from kccotgan_tpu.train import GanModules, build_train_step, create_train_state
 
+    if args.kernel_impl is None:
+        args.kernel_impl = TrainConfig.kernel_impl  # shipped default
     cfg = TrainConfig(
         dname="mmnist",
         batch_size=args.batch,
@@ -163,7 +168,7 @@ def main() -> int:
     print(
         f"# bench[{args.config}]: device={jax.devices()[0]} batch={args.batch} "
         f"T={args.time_steps} (ctx {args.context}) C={args.channels} "
-        f"L={cfg.sinkhorn_l}",
+        f"L={cfg.sinkhorn_l} kernel_impl={cfg.kernel_impl}",
         file=sys.stderr,
     )
 

@@ -89,11 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="space-to-depth MXU-lane packing of stride-1 "
                         "small-filter ConvLSTMs ('off' = bit-exact "
                         "unpacked numerics; models/conv_packing.py)")
-    p.add_argument("--kernel_impl", type=str, default="scan",
+    p.add_argument("--kernel_impl", type=str, default=TrainConfig.kernel_impl,
                    choices=["scan", "pallas", "auto"],
-                   help="ConvLSTM recurrence engine: lax.scan oracle, "
+                   help="ConvLSTM/LSTM recurrence engine: lax.scan oracle, "
                         "fused Pallas kernel, or auto (pallas on TPU; "
-                        "models/pallas_convlstm.py)")
+                        "models/pallas_convlstm.py). Default follows "
+                        "TrainConfig so the CLI and config never disagree")
     p.add_argument("--profile_steps", type=str, default="",
                    help="'start,stop' step window to capture an XLA trace "
                         "into <run_dir>/profile (e.g. '5,8')")
