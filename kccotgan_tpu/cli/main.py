@@ -92,9 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kernel_impl", type=str, default=TrainConfig.kernel_impl,
                    choices=["scan", "pallas", "auto"],
                    help="ConvLSTM/LSTM recurrence engine: lax.scan oracle, "
-                        "fused Pallas kernel, or auto (pallas on TPU; "
-                        "models/pallas_convlstm.py). Default follows "
-                        "TrainConfig so the CLI and config never disagree")
+                        "fused Pallas kernel (opt-in; measured slower "
+                        "end-to-end on v5e — see PARITY.md), or auto = the "
+                        "measured winner (scan). Default follows TrainConfig "
+                        "so the CLI and config never disagree")
     p.add_argument("--profile_steps", type=str, default="",
                    help="'start,stop' step window to capture an XLA trace "
                         "into <run_dir>/profile (e.g. '5,8')")

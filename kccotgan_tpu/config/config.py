@@ -127,9 +127,11 @@ class TrainConfig:
     # ConvLSTM recurrence engine: 'scan' = lax.scan over T (the
     # bit-replication oracle), 'pallas' = fused single-kernel recurrence
     # ((h, c) VMEM-resident for all T, no B<->T transposes —
-    # models/pallas_convlstm.py), 'auto' = pallas on TPU / scan
-    # elsewhere.  Layers the kernel does not cover (dropout>0, packing,
-    # seq_axis) silently fall back to scan per-layer.
+    # models/pallas_convlstm.py), 'auto' = the measured winner, which
+    # on v5e is 'scan' everywhere (end-to-end 160.8 vs 236.6 ms/step —
+    # PARITY.md "ConvLSTM recurrence engine").  Layers the kernel does
+    # not cover (dropout>0, packing, seq_axis, dense-LSTM gate width
+    # under one 128-lane vreg) silently fall back to scan per-layer.
     kernel_impl: str = "scan"
 
     # Run the 4 discriminator passes (h/m x real/fake) as ONE vmapped

@@ -466,6 +466,12 @@ class LSTM(nn.Module):
             and self.seq_axis is None
             and self.activation in ("tanh", "sigmoid")
             and self.recurrent_activation == "sigmoid"
+            # Mosaic can't lay out the [bt, 4u] <-> [bt, 1, 1, 4u]
+            # stores when the gate width is under one 128-lane vreg
+            # ("infer-vector-layout: unsupported shape cast", measured
+            # at u=8 on v5e) — and the per-step work there is too small
+            # for the fused kernel to win anyway, so fall back to scan.
+            and 4 * self.units >= 128
         )
         if use_pallas:
             # Fused single-kernel recurrence: consumes the hoisted

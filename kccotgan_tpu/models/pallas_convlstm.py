@@ -48,6 +48,55 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Mosaic's default scoped-VMEM stack limit is 16 MiB
+# (--xla_tpu_scoped_vmem_limit_kib); the fused recurrence needs more for
+# its double-buffered time blocks + f32 gate temporaries at the large
+# encoder shapes (measured 28.6 MiB at enc1 bt=4).  v5e/v6e cores have
+# 128 MiB of VMEM; cap well under that so prefetch/infeed keep headroom.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# The reverse-time kernel carries the dW accumulator (plus the rk block
+# and the drk output) resident for the whole grid — at enc4's f=256
+# that fixed set alone is ~92 MiB of stack, so the bwd gets a higher
+# ceiling and its own batch-tile model (below).
+_VMEM_LIMIT_BWD = pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024)
+
+
+def _bwd_batch_tile(
+    b: int, ho: int, wo: int, f: int, kh: int, kw: int, itemsize: int
+) -> int:
+    """Batch tile for the reverse-time kernel.
+
+    Calibrated against Mosaic's measured stack sizes on v5e (enc4
+    f=256: 118.6 MiB at bt=32; dec5 f=8 k=8: 126 MiB at bt=2): a fixed
+    weight term ~3.5x the lane-padded drk bytes (rk block + drk output
+    + drk scratch and their buffers), plus a per-sample term covering
+    the double-buffered sequence blocks, state blocks/scratch, and the
+    f32 gate temporaries.  Channel dims are billed at >=128 lanes.
+    """
+    lane = 128
+    s = ho * wo
+    f4p, fp = max(4 * f, lane), max(f, lane)
+    per = s * (
+        4 * itemsize * f4p      # x_t double buffer
+        + 4 * itemsize * f4p    # dx double buffer
+        + 4 * itemsize * fp     # y_prev + dy double buffers
+        + 8 * fp                # cs_prev f32 double buffer
+        + 32 * fp               # h0/c0/dhn/dcn/dh0/dc0 f32 blocks
+        + 8 * fp                # dh/dc f32 scratch
+        + 16 * f4p              # z/dz/acc/gate f32 live set
+        + 2 * itemsize * f4p    # padded hp/dzp temporaries
+    )
+    per *= 1.3  # measured-vs-model safety (dec5: 126 MiB actual at bt=2)
+    fixed = 3.5 * 4 * kh * kw * f * f4p
+    budget = 95 * 1024 * 1024 - fixed
+    bt = b
+    while bt > 1 and per * bt > budget:
+        bt -= 1
+        while b % bt:
+            bt -= 1
+    return bt
+
+
 def _act(name: str):
     if name == "tanh":
         return jnp.tanh
@@ -195,6 +244,7 @@ def _fwd(xconv, h0, c0, rec_kernel, bias, activation, recurrent_activation):
             pltpu.VMEM((bt, ho, wo, f), jnp.float32),
             pltpu.VMEM((bt, ho, wo, f), jnp.float32),
         ],
+        compiler_params=_VMEM_LIMIT,
         interpret=_interpret(),
     )(xconv, h0, c0, rec_kernel, bias)
     return y, c_stack, h_n, c_n
@@ -325,9 +375,9 @@ def _bwd(xconv, h0, c0, rec_kernel, bias, y, c_stack,
     b, t, ho, wo, f4 = xconv.shape
     f = f4 // 4
     cdt = xconv.dtype
-    bt = _batch_tile(b, ho, wo, f, jnp.dtype(cdt).itemsize)
-    nb = b // bt
     kh, kw = rec_kernel.shape[0], rec_kernel.shape[1]
+    bt = _bwd_batch_tile(b, ho, wo, f, kh, kw, jnp.dtype(cdt).itemsize)
+    nb = b // bt
 
     kern = partial(
         _bwd_kernel,
@@ -385,6 +435,7 @@ def _bwd(xconv, h0, c0, rec_kernel, bias, y, c_stack,
             pltpu.VMEM((kh, kw, f, 4 * f), jnp.float32),
             pltpu.VMEM((1, 4 * f), jnp.float32),
         ],
+        compiler_params=_VMEM_LIMIT_BWD,
         interpret=_interpret(),
     )(xconv, y, c_stack, h0, c0, rec_kernel, bias, dy, dh_n, dc_n)
     return dx, dh0, dc0, drk, db[0]

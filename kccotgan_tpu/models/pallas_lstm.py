@@ -39,6 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["lstm_scan_pallas"]
 
 
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -174,6 +177,7 @@ def _fwd(xproj, h0, c0, rec_kernel, bias, activation, recurrent_activation):
             pltpu.VMEM((bt, u), jnp.float32),
             pltpu.VMEM((bt, u), jnp.float32),
         ],
+        compiler_params=_VMEM_LIMIT,
         interpret=_interpret(),
     )(xproj.reshape(b, t, 1, u4), h0, c0, rec_kernel, bias)
     return y.reshape(b, t, u), c_stack.reshape(b, t, u), h_n, c_n
@@ -329,6 +333,7 @@ def _bwd(xproj, h0, c0, rec_kernel, bias, y, c_stack,
             pltpu.VMEM((u, 4 * u), jnp.float32),
             pltpu.VMEM((1, 4 * u), jnp.float32),
         ],
+        compiler_params=_VMEM_LIMIT,
         interpret=_interpret(),
     )(
         xproj.reshape(b, t, 1, u4),

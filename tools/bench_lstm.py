@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 from kccotgan_tpu.models.layers import LSTM  # noqa: E402
+from kccotgan_tpu.utils import timing  # noqa: E402
 
 # (name, T, feat_in, units, activation) — flagship discriminator stack
 LAYERS = [
@@ -28,14 +29,10 @@ LAYERS = [
 ]
 
 
-def bench(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+def bench(fn, *args, iters=20, floor=None):
+    # fn takes a trailing chain scalar; see utils/timing.py for why
+    # (axon block_until_ready returns early; unchained loops misread).
+    return timing.time_chained(fn, *args, iters=iters, floor=floor) * 1e3
 
 
 def main():
@@ -59,6 +56,7 @@ def main():
         f"{i + s:>14}" for i in impls for s in ("_fwd_ms", "_grad_ms")
     )
     print(header)
+    floor = timing.sync_floor()
 
     for name, t, feat, u, act in layers:
         x = jax.random.normal(
@@ -72,17 +70,19 @@ def main():
             )
             params = layer.init(jax.random.PRNGKey(1), x)
 
-            fwd = jax.jit(lambda p, xx, L=layer: L.apply(p, xx))
+            fwd = jax.jit(lambda p, xx, ss, L=layer: L.apply(p, xx + ss))
             gfn = jax.jit(
-                jax.grad(lambda p, xx, L=layer: jnp.sum(L.apply(p, xx) ** 2))
+                jax.grad(
+                    lambda p, xx, ss, L=layer: jnp.sum(L.apply(p, xx + ss) ** 2)
+                )
             )
             try:
-                f_ms = bench(fwd, params, x, iters=args.iters)
+                f_ms = bench(fwd, params, x, iters=args.iters, floor=floor)
             except Exception as e:  # noqa: BLE001
                 cols += [f"ERR:{type(e).__name__}"[:14], "-"]
                 continue
             try:
-                g_ms = bench(gfn, params, x, iters=args.iters)
+                g_ms = bench(gfn, params, x, iters=args.iters, floor=floor)
             except Exception as e:  # noqa: BLE001
                 cols += [f"{f_ms:14.3f}", f"ERR:{type(e).__name__}"[:14]]
                 continue
