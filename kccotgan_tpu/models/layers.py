@@ -471,7 +471,9 @@ class LSTM(nn.Module):
             # ("infer-vector-layout: unsupported shape cast", measured
             # at u=8 on v5e) — and the per-step work there is too small
             # for the fused kernel to win anyway, so fall back to scan.
-            and 4 * self.units >= 128
+            # TPU-only: interpret mode (how tests exercise the kernel
+            # on CPU) has no such layout constraint.
+            and (4 * self.units >= 128 or jax.default_backend() != "tpu")
         )
         if use_pallas:
             # Fused single-kernel recurrence: consumes the hoisted

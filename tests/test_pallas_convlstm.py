@@ -186,3 +186,25 @@ def test_raw_kernel_bf16_semantics(rng):
     assert y.dtype == jnp.bfloat16
     assert hn.dtype == cn.dtype == jnp.float32
     assert bool(jnp.all(jnp.isfinite(y.astype(jnp.float32))))
+
+
+def test_bwd_batch_tile_fits_measured_vmem():
+    """Pin the calibrated reverse-kernel batch-tile model against the
+    Mosaic stack sizes measured on v5e (PARITY.md "Compile on real
+    hardware"): enc4's fixed dW term forces a small tile, dec5's
+    lane-padded 64x64 blocks force bt=1, and every choice must divide
+    the batch."""
+    from kccotgan_tpu.models.pallas_convlstm import _bwd_batch_tile
+
+    flagship = {
+        "enc1": (32, 32, 32, 6), "enc2": (16, 16, 64, 6),
+        "enc3": (8, 8, 128, 5), "enc4": (4, 4, 256, 5),
+        "dec2": (8, 8, 128, 4), "dec3": (16, 16, 64, 6),
+        "dec4": (32, 32, 32, 8), "dec5": (64, 64, 8, 8),
+    }
+    for name, (ho, wo, f, k) in flagship.items():
+        bt = _bwd_batch_tile(32, ho, wo, f, k, k, 2)
+        assert 1 <= bt <= 32 and 32 % bt == 0, name
+    # the two shapes that OOM'd at the old tiles (118.6 / 126 MiB):
+    assert _bwd_batch_tile(32, 4, 4, 256, 5, 5, 2) <= 8
+    assert _bwd_batch_tile(32, 64, 64, 8, 8, 8, 2) == 1

@@ -159,3 +159,26 @@ def test_discriminator_parity_scan_vs_pallas(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g_p),
                     jax.tree_util.tree_leaves(g_s)):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-5)
+
+
+def test_narrow_gate_width_falls_back_on_tpu(data, monkeypatch):
+    """On a TPU backend the dense kernel is skipped when 4*units < 128
+    (Mosaic "unsupported shape cast" at u=8 on v5e); interpret mode
+    keeps exercising the kernel at any width.  Simulate the TPU
+    dispatch and assert the kernel is NOT invoked."""
+    import kccotgan_tpu.models.layers as layers_mod
+
+    x, params = data
+
+    def _boom(*a, **k):  # the kernel must not be reached
+        raise AssertionError("lstm_scan_pallas called for 4u < 128 on tpu")
+
+    monkeypatch.setattr(
+        layers_mod.jax, "default_backend", lambda: "tpu"
+    )
+    import kccotgan_tpu.models.pallas_lstm as pl_mod
+
+    monkeypatch.setattr(pl_mod, "lstm_scan_pallas", _boom)
+    y = _mk("pallas").apply(params, x)  # units=4 -> scan fallback
+    y_scan = _mk("scan").apply(params, x)
+    np.testing.assert_allclose(y, y_scan, rtol=1e-6, atol=1e-6)

@@ -77,8 +77,13 @@ def main() -> int:
                 float(metrics["sinkhorn_loss"])  # sync past compile
                 t0 = time.perf_counter()
             if (i + 1) % args.log_every == 0:
-                curve.append(round(float(metrics["sinkhorn_loss"]), 5))
+                # keep the scalar ON DEVICE inside the timed loop (a
+                # float() here costs one ~30 ms RPC readback per step
+                # on the axon tunnel); fetch after the final sync.
+                curve.append(metrics["sinkhorn_loss"])
+        float(curve[-1])  # true sync: chain runs through state
         dt = (time.perf_counter() - t0) / (args.steps - 1)
+        curve = [round(float(v), 5) for v in curve]
         curves[dtype] = curve
         times[dtype] = round(dt * 1e3, 2)
         print(f"# {dtype}: {dt*1e3:.1f} ms/step, final loss {curve[-1]}", file=sys.stderr)

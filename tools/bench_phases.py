@@ -64,20 +64,27 @@ def main() -> int:
     )
     sigma = jnp.float32(cfg.init_sigma)
 
+    from kccotgan_tpu.utils import timing
+
+    floor = timing.sync_floor()
+
     def timeit(name, fn, *inputs):
-        out = fn(*inputs)  # compile
-        jax.block_until_ready(out)
-        # axon: readback of one leaf is the true sync
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(jnp.sum(leaf))
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            out = fn(*inputs)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(jnp.sum(leaf))
-        ms = (time.perf_counter() - t0) / args.reps * 1e3
+        # Chained-sync timing (utils/timing.py): the chain scalar is
+        # folded into every leaf of the first input so iteration i+1
+        # data-depends on iteration i (axon block_until_ready acks
+        # enqueue only; unchained loops misread / can wedge).
+        def chained(*a):
+            *xs, ss = a
+            xs = list(xs)
+            xs[0] = jax.tree_util.tree_map(
+                lambda q: q + ss.astype(q.dtype), xs[0]
+            )
+            return fn(*xs)
+
+        ms = timing.time_chained(
+            jax.jit(chained), *inputs, iters=args.reps, floor=floor
+        ) * 1e3
         print(json.dumps({"component": name, "ms": round(ms, 2)}), flush=True)
-        return out
 
     # ---- components (fwd + bwd, as the training step drives them) ----
     def enc_loss(params):

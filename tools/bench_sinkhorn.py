@@ -43,6 +43,9 @@ def main() -> int:
     import jax.numpy as jnp
 
     from kccotgan_tpu.ot import compute_sinkhorn_loss
+    from kccotgan_tpu.utils import timing
+
+    floor = timing.sync_floor()
 
     key = jax.random.PRNGKey(0)
     t, f = args.time_steps, args.feat
@@ -66,25 +69,19 @@ def main() -> int:
                         video=False, num_iters=num_iters, solver=solver,
                     )
 
-                fwd = jax.jit(loss_fn)
-                grad = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+                # Chained-sync timing (utils/timing.py): unchained
+                # loops misread / can wedge the axon data plane.
+                fwd = jax.jit(lambda fr_, ff_, ss: loss_fn(fr_ + ss, ff_))
+                vgrad = jax.value_and_grad(loss_fn, argnums=(0, 1))
+                grad = jax.jit(lambda fr_, ff_, ss: vgrad(fr_ + ss, ff_))
 
-                # compile + warmup (readback is the only true sync on axon)
-                float(fwd(fr, ff))
-                v, g = grad(fr, ff)
-                float(v)
-
-                t0 = time.perf_counter()
-                for _ in range(args.reps):
-                    out = fwd(fr, ff)
-                float(out)
-                fwd_ms = (time.perf_counter() - t0) / args.reps * 1e3
-
-                t0 = time.perf_counter()
-                for _ in range(args.reps):
-                    v, g = grad(fr, ff)
-                float(v)
-                grad_ms = (time.perf_counter() - t0) / args.reps * 1e3
+                v = fwd(fr, ff, jnp.float32(0.0))  # loss for the report row
+                fwd_ms = timing.time_chained(
+                    fwd, fr, ff, iters=args.reps, floor=floor
+                ) * 1e3
+                grad_ms = timing.time_chained(
+                    grad, fr, ff, iters=args.reps, floor=floor
+                ) * 1e3
 
                 print(
                     json.dumps(
