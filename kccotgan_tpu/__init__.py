@@ -12,6 +12,7 @@ Layer map (TPU-first):
   smoothing/ separable Gaussian kernel smoothing (1d/2d/3d) + sigma annealing
   data/      host-side pipelines (MMNIST npy, GQN/BAIR TFRecord, KTH/Penn)
   train/     train state, jitted disc/gen steps, loop, rollout sampler
+  eval/      video-prediction metrics (PSNR/SSIM, best-of-K protocol)
   parallel/  mesh + shard_map data parallelism, all-gather global Sinkhorn
   ckpt/      Orbax checkpointing of the full train state
   config/    dataclass configs + per-dataset presets

@@ -26,6 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num", type=int, default=4, help="videos to sample")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fps", type=int, default=10)
+    p.add_argument("--metrics_k", type=int, default=0,
+                   help="if > 0, also report best-of-K PSNR/SSIM of the "
+                        "predicted future vs the ground truth (standard "
+                        "stochastic video-prediction protocol)")
     return p
 
 
@@ -58,8 +62,30 @@ def main(argv: list[str] | None = None) -> int:
         test_batch = next(iter(batches))
     ctx = jnp.array(test_batch[: args.num, :, : cfg.int_time_steps])
 
-    video = build_rollout(cfg, mods)(state, ctx, jax.random.PRNGKey(args.seed))
+    rollout = build_rollout(cfg, mods)
+    video = rollout(state, ctx, jax.random.PRNGKey(args.seed))
     video = np.asarray(video)  # [N, H, T, W, C]
+
+    if args.metrics_k > 0 and test_batch.shape[2] > cfg.int_time_steps:
+        import json
+
+        from ..eval import best_of_k
+
+        m = best_of_k(
+            rollout,
+            state,
+            jnp.asarray(test_batch[: args.num], jnp.float32),
+            cfg.int_time_steps,
+            jax.random.PRNGKey(args.seed + 1),
+            k=args.metrics_k,
+        )
+        print(json.dumps({
+            "best_of_k": args.metrics_k,
+            "psnr": round(float(m["psnr"]), 4),
+            "ssim": round(float(m["ssim"]), 4),
+            "psnr_per_step": [round(float(v), 3) for v in m["psnr_per_step"]],
+            "ssim_per_step": [round(float(v), 4) for v in m["ssim_per_step"]],
+        }))
     n, h, t, w, c = video.shape
 
     os.makedirs(args.out, exist_ok=True)

@@ -14,6 +14,7 @@ import time
 from typing import Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..ckpt import CheckpointWriter, restore_checkpoint
@@ -162,4 +163,18 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed + step)
         video = self.rollout(state, context, rng)
         self.logger.image_grid("Training data", np.asarray(video), step)
+        # Quantitative rollout quality vs the ground-truth future when
+        # the test batch carries one (the reference logs only the image
+        # grid, `kernel_train.py:352-356`; PSNR/SSIM are the standard
+        # video-prediction measures — see kccotgan_tpu.eval).
+        t_pred = min(video.shape[2], test_batch.shape[2]) - cfg.int_time_steps
+        if t_pred > 0:
+            from ..eval import video_metrics
+
+            sl = slice(cfg.int_time_steps, cfg.int_time_steps + t_pred)
+            m = video_metrics(
+                video[:, :, sl], jnp.asarray(test_batch[:, :, sl], jnp.float32)
+            )
+            self.logger.scalar("eval/psnr", float(m["psnr"]), step)
+            self.logger.scalar("eval/ssim", float(m["ssim"]), step)
         self.logger.flush()

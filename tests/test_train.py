@@ -6,6 +6,7 @@ resume), rollout shapes, and schedule parity vs the reference's
 WarmUp + ExponentialDecay composition.
 """
 
+import json
 import os
 
 import numpy as np
@@ -350,7 +351,12 @@ def test_trainer_fit_synthetic(tmp_path):
     assert summary["status"] == "completed"
     assert summary["steps"] == 3
     assert os.path.exists(os.path.join(trainer.run_dir, "train_notes.txt"))
-    assert os.path.exists(os.path.join(trainer.run_dir, "log", "metrics.jsonl"))
+    metrics_path = os.path.join(trainer.run_dir, "log", "metrics.jsonl")
+    assert os.path.exists(metrics_path)
+    # the sampling cadence also logs quantitative rollout quality
+    with open(metrics_path) as f:
+        tags = {json.loads(line).get("tag") for line in f}
+    assert {"eval/psnr", "eval/ssim"} <= tags
 
 
 def test_scan_remat_is_exact(tiny_batch):
@@ -423,7 +429,7 @@ def test_fused_discriminators_exact(tiny_batch):
             )
 
 
-def test_sample_cli_roundtrip(tmp_path):
+def test_sample_cli_roundtrip(tmp_path, capsys):
     """Train 2 steps on synthetic data via the training CLI machinery,
     then drive the sampling CLI against the written checkpoint."""
     import dataclasses
@@ -448,9 +454,18 @@ def test_sample_cli_roundtrip(tmp_path):
             "--ckpt", str(tmp_path / "r" / "ckpt"),
             "--out", str(tmp_path / "samples"),
             "--num", "2",
+            "--metrics_k", "2",
         ])
     finally:
         presets.PRESETS.pop("_test_tiny")
     assert rc == 0
     assert os.path.getsize(tmp_path / "samples" / "rollout.gif") > 0
     assert os.path.getsize(tmp_path / "samples" / "rollout_strips.png") > 0
+    # --metrics_k emits one best-of-K PSNR/SSIM JSON line
+    report = [
+        json.loads(line)
+        for line in capsys.readouterr().out.splitlines()
+        if line.startswith("{")
+    ]
+    assert report and report[0]["best_of_k"] == 2
+    assert np.isfinite(report[0]["psnr"]) and 0 < report[0]["ssim"] <= 1
