@@ -28,7 +28,7 @@ dropout > 0 (all reference configs default to 0.0).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ gathered result (test-pinned on an 8-device CPU mesh).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -22,7 +22,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import TrainConfig
 from ..train.state import GanModules, TrainState

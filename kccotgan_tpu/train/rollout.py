@@ -15,7 +15,6 @@ The reference also hardcodes ``z_channels=128`` at eval
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
