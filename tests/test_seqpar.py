@@ -254,6 +254,89 @@ def test_data_seq_2d_train_step_matches_unsharded():
             )
 
 
+def test_seq_sharded_train_step_with_dropout_matches_unsharded():
+    """Dropout under sequence parallelism: Keras-style masks are shared
+    over time (drawn once per layer with a time-independent shape,
+    models/layers.py), and ``_shard_rngs`` keeps the dropout keys
+    IDENTICAL across the seq axis — so every seq shard draws the same
+    masks the unsharded step draws, and the seq-sharded training step
+    must still exactly match the single-device step even with
+    dropout>0 and rnn_dropout>0 engaged (reference dropout semantics:
+    `/root/reference/gan.py:40-41,57-62`)."""
+    import dataclasses
+
+    from kccotgan_tpu.config import ModelConfig, TrainConfig
+    from kccotgan_tpu.data import bouncing_blobs
+    from kccotgan_tpu.parallel import (
+        build_seq_train_step, seq_batch_sharding, seq_mesh, seq_replicated,
+    )
+    from kccotgan_tpu.train import (
+        GanModules, build_train_step, create_train_state,
+    )
+
+    cfg = TrainConfig(
+        dname="synthetic",
+        batch_size=2,
+        compute_dtype="float32",
+        total_time_steps=16,
+        int_time_steps=8,
+        sinkhorn_l=10,
+        sinkhorn_solver="scan",
+        donate_buffers=False,
+        model=ModelConfig(
+            x_height=16, x_width=16, n_channels=1,
+            g_filter_size=2, d_filter_size=2,
+            g_state_size=3, d_state_size=3,
+            z_channels=4, z_height=1, z_width=1,
+            use_norm=True,
+            dropout=0.3, rnn_dropout=0.3,
+        ),
+    )
+    batch = jnp.array(
+        bouncing_blobs(cfg.batch_size, cfg.total_time_steps, 16, 16, seed=7)
+    )
+    mods = GanModules(cfg)
+    state0 = create_train_state(cfg, jax.random.PRNGKey(0))
+
+    plain_state, plain_metrics = build_train_step(
+        cfg, mods, jit=True, donate=False
+    )(state0, batch)
+
+    # sanity: masks actually engage — dropout=0 gives a different loss
+    cfg0 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, dropout=0.0, rnn_dropout=0.0)
+    )
+    _, metrics0 = build_train_step(cfg0, GanModules(cfg0), jit=True, donate=False)(
+        create_train_state(cfg0, jax.random.PRNGKey(0)), batch
+    )
+    assert float(metrics0["sinkhorn_loss"]) != float(
+        plain_metrics["sinkhorn_loss"]
+    )
+
+    mesh = seq_mesh(8)
+    seq_step = build_seq_train_step(cfg, mods, mesh)
+    state0_r = jax.device_put(state0, seq_replicated(mesh))
+    batch_s = jax.device_put(batch, seq_batch_sharding(mesh))
+    seq_state, seq_metrics = seq_step(state0_r, batch_s)
+
+    np.testing.assert_allclose(
+        float(seq_metrics["sinkhorn_loss"]),
+        float(plain_metrics["sinkhorn_loss"]), rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(seq_metrics["pm"]), float(plain_metrics["pm"]), rtol=1e-4,
+    )
+    for name in ("enc_params", "dec_params", "h_params", "m_params"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(getattr(seq_state, name)),
+            jax.tree_util.tree_leaves(getattr(plain_state, name)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5,
+                err_msg=name,
+            )
+
+
 def test_time_sharded_encoder_gradients(rng):
     """Param gradients through the ring-relay encoder == unsharded."""
     b, hgt, t, wid, c = 1, 16, 8, 16, 1
