@@ -144,6 +144,20 @@ class TrainConfig:
     # TPU backend handles worse than 4 separate fused convs.
     fused_discriminators: bool = False
 
+    # Encode the context frames ONCE per step instead of once per GAN
+    # phase.  The encoder pyramid is z-independent and the generator
+    # params do not change between the disc and gen phases (enc/dec
+    # update only at the END of the gen phase — train/steps.py), so
+    # the two phases' encoder forwards are the same computation: the
+    # disc phase consumes the value as a constant and the gen phase
+    # chains its cotangent through one jax.vjp.  Mathematically exact;
+    # auto-disabled when dropout>0 (the phases then draw different
+    # masks, matching the reference's per-phase forwards —
+    # /root/reference/kernel_train.py:226,266) and under the
+    # sequence-parallel encode hook.  OFF = bit-replication of the
+    # two-forward trace.
+    share_context_encoding: bool = True
+
     # bookkeeping
     seed: int = 1
     save_freq: int = 10

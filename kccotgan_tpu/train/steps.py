@@ -52,6 +52,8 @@ def gan_forward(
     encode: Callable | None = None,
     decode: Callable | None = None,
     constrain_loss_inputs: Callable | None = None,
+    pyramid=None,
+    real_smoothed=None,
 ):
     """One full forward pass: encode, decode (teacher forcing), smooth,
     discriminate, mixed Sinkhorn + pM.  Returns (loss, pm, new_stats).
@@ -67,6 +69,11 @@ def gan_forward(
     through the ring-relay time-sharded wrappers (parallel/seqtrain.py)
     while everything else (smoothing, discriminators, loss) stays
     shared.
+
+    ``pyramid`` supplies a precomputed context encoding, skipping the
+    encoder forward entirely (``enc_params`` is then unused) — the
+    share-context-encoding fast path computes it once per STEP and
+    feeds both GAN phases (see ``build_train_step``).
     """
     tc = cfg.int_time_steps
     real_in = real_data[:, :, :tc]
@@ -78,7 +85,9 @@ def gan_forward(
     else:
         enc_rngs = dec_rngs = None
 
-    if encode is None:
+    if pyramid is not None:
+        pass
+    elif encode is None:
         pyramid = mods.encoder.apply(
             {"params": enc_params}, real_data, training=True, rngs=enc_rngs
         )
@@ -92,11 +101,14 @@ def gan_forward(
         fake_pred = decode(dec_params, pyramid, z, dec_rngs)
     fake = jnp.concatenate([real_in, fake_pred], axis=2)
 
-    real_s = apply_smoothing(
-        real_data, sigma, cfg.kernel,
-        temporal_kernel=cfg.temporal_kernel_size,
-        spatial_kernel=cfg.spatial_kernel_size,
-    )
+    if real_smoothed is not None:
+        real_s = real_smoothed
+    else:
+        real_s = apply_smoothing(
+            real_data, sigma, cfg.kernel,
+            temporal_kernel=cfg.temporal_kernel_size,
+            spatial_kernel=cfg.spatial_kernel_size,
+        )
     fake_s = apply_smoothing(
         fake, sigma, cfg.kernel,
         temporal_kernel=cfg.temporal_kernel_size,
@@ -254,6 +266,35 @@ def build_train_step(
         else:
             sigma = jnp.asarray(cfg.init_sigma, jnp.float32)
 
+        # Context encoding, shared across both phases: the pyramid is
+        # z-independent and enc/dec params only update at the END of
+        # the gen phase, so (dropout off) the disc- and gen-phase
+        # encoder forwards are the same computation.  Encode ONCE via
+        # jax.vjp — the disc phase consumes the value as a constant
+        # (it never differentiates the generator) and the gen phase
+        # chains its pyramid cotangent through `enc_vjp`.  Exact; the
+        # reference's per-phase re-forward (quirk #9) is preserved for
+        # everything z-dependent (decoder, discriminators, loss).
+        share_ctx = (
+            cfg.share_context_encoding and not needs_dropout and encode is None
+        )
+        if share_ctx:
+            pyramid, enc_vjp = jax.vjp(
+                lambda p: mods.encoder.apply(
+                    {"params": p}, real_data, training=True
+                ),
+                state.enc_params,
+            )
+            # The smoothed REAL video is param- and z-free: identical
+            # in both phases, so compute it once too.
+            real_s1 = apply_smoothing(
+                real_data, sigma, cfg.kernel,
+                temporal_kernel=cfg.temporal_kernel_size,
+                spatial_kernel=cfg.spatial_kernel_size,
+            )
+        else:
+            pyramid = enc_vjp = real_s1 = None
+
         # ---------------- discriminator phase -----------------
         z1 = jax.random.normal(k_disc, z_shape, jnp.float32)
 
@@ -264,6 +305,7 @@ def build_train_step(
                 real_data, z1, sigma, dropout_rng=kd_disc,
                 encode=encode, decode=decode,
                 constrain_loss_inputs=constrain_loss_inputs,
+                pyramid=pyramid, real_smoothed=real_s1,
             )
             return -loss + pm, (loss, pm, h_stats, m_stats)
 
@@ -281,19 +323,38 @@ def build_train_step(
         # ---------------- generator phase -----------------
         z2 = jax.random.normal(k_gen, z_shape, jnp.float32)
 
-        def gen_loss_fn(enc_params, dec_params):
-            loss, _, hs, ms = gan_forward(
-                mods, cfg, enc_params, dec_params,
-                h_params, m_params, h_stats, m_stats,
-                real_data, z2, sigma, dropout_rng=kd_gen,
-                encode=encode, decode=decode,
-                constrain_loss_inputs=constrain_loss_inputs,
-            )
-            return loss, (hs, ms)
+        if share_ctx:
 
-        (gen_loss, (h_stats, m_stats)), (ge, gd) = jax.value_and_grad(
-            gen_loss_fn, argnums=(0, 1), has_aux=True
-        )(state.enc_params, state.dec_params)
+            def gen_loss_fn(pyr, dec_params):
+                loss, _, hs, ms = gan_forward(
+                    mods, cfg, state.enc_params, dec_params,
+                    h_params, m_params, h_stats, m_stats,
+                    real_data, z2, sigma,
+                    decode=decode,
+                    constrain_loss_inputs=constrain_loss_inputs,
+                    pyramid=pyr, real_smoothed=real_s1,
+                )
+                return loss, (hs, ms)
+
+            (gen_loss, (h_stats, m_stats)), (g_pyr, gd) = jax.value_and_grad(
+                gen_loss_fn, argnums=(0, 1), has_aux=True
+            )(pyramid, state.dec_params)
+            (ge,) = enc_vjp(g_pyr)
+        else:
+
+            def gen_loss_fn(enc_params, dec_params):
+                loss, _, hs, ms = gan_forward(
+                    mods, cfg, enc_params, dec_params,
+                    h_params, m_params, h_stats, m_stats,
+                    real_data, z2, sigma, dropout_rng=kd_gen,
+                    encode=encode, decode=decode,
+                    constrain_loss_inputs=constrain_loss_inputs,
+                )
+                return loss, (hs, ms)
+
+            (gen_loss, (h_stats, m_stats)), (ge, gd) = jax.value_and_grad(
+                gen_loss_fn, argnums=(0, 1), has_aux=True
+            )(state.enc_params, state.dec_params)
         ge, gd, gen_loss = pmean(ge), pmean(gd), pmean(gen_loss)
         h_stats, m_stats = pmean(h_stats), pmean(m_stats)
 

@@ -379,6 +379,41 @@ def test_scan_remat_is_exact(tiny_batch):
     np.testing.assert_allclose(results[True][1], results[False][1], rtol=1e-5, atol=1e-8)
 
 
+def test_share_context_encoding_exact(tiny_batch):
+    """Encoding the context ONCE per step (value reused by the disc
+    phase, cotangent chained through jax.vjp in the gen phase) must
+    match the two-forward trace: same metrics, same updated params
+    for all four modules.  Mathematically identical — only the number
+    of encoder forward executions changes."""
+    import dataclasses
+
+    results = {}
+    for share in (False, True):
+        cfg = dataclasses.replace(TINY, share_context_encoding=share)
+        mods = GanModules(cfg)
+        state = create_train_state(cfg, jax.random.PRNGKey(11))
+        step_fn = build_train_step(cfg, mods, jit=True, donate=False)
+        new_state, metrics = step_fn(state, jnp.array(tiny_batch))
+        results[share] = (
+            float(metrics["sinkhorn_loss"]),
+            float(metrics["pm"]),
+            new_state,
+        )
+    loss0, pm0, st0 = results[False]
+    loss1, pm1, st1 = results[True]
+    np.testing.assert_allclose(loss1, loss0, rtol=1e-6)
+    np.testing.assert_allclose(pm1, pm0, rtol=1e-6)
+    for name in ("enc_params", "dec_params", "h_params", "m_params"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(getattr(st1, name)),
+            jax.tree_util.tree_leaves(getattr(st0, name)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+                err_msg=name,
+            )
+
+
 def test_fused_discriminators_exact(tiny_batch):
     """The vmapped 4-way discriminator pass must match the sequential
     reference-order calls: identical losses, discriminator outputs (via
