@@ -114,10 +114,10 @@ def main() -> int:
     p.add_argument("--unroll", type=int, default=1,
                    help="lax.scan unroll factor for ConvLSTM/LSTM scans")
     p.add_argument("--remat-policy", default="carry_only",
-                   choices=["carry_only", "save_recurrent"],
                    help="scan-body checkpoint policy (save_recurrent "
                         "keeps recurrent conv outputs, recomputes only "
-                        "gate math in backward)")
+                        "gate math in backward); per-layer overrides "
+                        "like 'carry_only,decoder5=save_recurrent'")
     p.add_argument("--conv-packing", default="off", choices=["auto", "off"],
                    help="space-to-depth MXU-lane packing of stride-1 "
                         "small-filter ConvLSTMs")

@@ -82,8 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MXU input precision for model convs/matmuls "
                         "(training-parity validated; PARITY.md)")
     p.add_argument("--remat_policy", type=str, default="carry_only",
-                   choices=["carry_only", "save_recurrent"],
-                   help="scan-body checkpoint policy (HBM vs recompute)")
+                   help="scan-body checkpoint policy (HBM vs recompute): "
+                        "'carry_only', 'save_recurrent', or a per-layer "
+                        "spec like 'carry_only,decoder5=save_recurrent'")
     p.add_argument("--conv_packing", type=str, default="off",
                    choices=["auto", "off"],
                    help="space-to-depth MXU-lane packing of stride-1 "

@@ -113,7 +113,10 @@ class TrainConfig:
     # 'carry_only': backward recomputes the whole scan body (min HBM);
     # 'save_recurrent': also save the recurrent conv/matmul outputs so
     # backward recomputes only gate math (HBM-vs-FLOPs tradeoff;
-    # mathematically identical — models/layers.py::_remat).
+    # mathematically identical — models/layers.py::_remat).  The
+    # tradeoff flips with layer geometry, so per-layer overrides are
+    # supported: 'carry_only,decoder4=save_recurrent,decoder5=
+    # save_recurrent' (models/layers.py::resolve_remat_policy).
     scan_remat_policy: str = "carry_only"
     scan_unroll: int = 1     # lax.scan unroll factor for ConvLSTM/LSTM
     # 'auto': run stride-1 small-filter ConvLSTMs (decoder5 at default

@@ -56,9 +56,42 @@ def _remat(step, policy_name: str, saved_name: str):
         raise ValueError(f"unknown remat policy: {policy_name!r}")
     return jax.checkpoint(step, prevent_cse=False, policy=policy)
 
+
+def resolve_remat_policy(spec: str, layer_name: str) -> str:
+    """Resolve a (possibly per-layer) remat-policy spec for one layer.
+
+    The HBM-vs-recompute tradeoff of ``_remat``'s two policies flips
+    with layer geometry (compute-heavy big-kernel layers prefer
+    ``save_recurrent``; bandwidth-heavy ones ``carry_only``), so the
+    config spec supports per-layer overrides:
+
+    * ``'carry_only'`` / ``'save_recurrent'`` — one policy everywhere;
+    * a comma list mixing a bare default with ``name=policy``
+      overrides, e.g.
+      ``'carry_only,decoder4=save_recurrent,decoder5=save_recurrent'``.
+
+    Layer names are the flax module names: ``encoder1..4``,
+    ``decoder2..5``, ``lstm1..3``.  Unknown policy values are rejected
+    by ``_remat`` at trace time; unknown layer names are silently
+    unused (so one spec can serve models that differ in depth).
+    """
+    default = "carry_only"
+    overrides: dict[str, str] = {}
+    for tok in str(spec).split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        if "=" in tok:
+            name, _, pol = tok.partition("=")
+            overrides[name.strip()] = pol.strip()
+        else:
+            default = tok
+    return overrides.get(layer_name, default)
+
 __all__ = [
     "ConvLSTM2D",
     "LSTM",
+    "resolve_remat_policy",
     "ConvTranspose2D",
     "Conv2D",
     "hard_sigmoid",

@@ -41,7 +41,14 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import LSTM, Conv2D, ConvLSTM2D, ConvTranspose2D, leaky_relu
+from .layers import (
+    LSTM,
+    Conv2D,
+    ConvLSTM2D,
+    ConvTranspose2D,
+    leaky_relu,
+    resolve_remat_policy,
+)
 
 __all__ = ["VideoEncoder", "VideoDecoder", "VideoDiscriminator"]
 
@@ -120,7 +127,9 @@ class VideoEncoder(nn.Module):
                 recurrent_dropout=self.rnn_dropout,
                 compute_dtype=self.compute_dtype,
                 remat=self.scan_remat,
-                remat_policy=self.scan_remat_policy,
+                remat_policy=resolve_remat_policy(
+                    self.scan_remat_policy, f"encoder{i + 1}"
+                ),
                 unroll=self.scan_unroll,
                 seq_axis=self.seq_axis,
                 conv_packing=self.conv_packing,
@@ -238,7 +247,9 @@ class VideoDecoder(nn.Module):
                 dropout=self.dropout, recurrent_dropout=self.rnn_dropout,
                 compute_dtype=self.compute_dtype,
                 remat=self.scan_remat,
-                remat_policy=self.scan_remat_policy,
+                remat_policy=resolve_remat_policy(
+                    self.scan_remat_policy, dec_name
+                ),
                 unroll=self.scan_unroll,
                 seq_axis=self.seq_axis,
                 conv_packing=self.conv_packing,
@@ -261,7 +272,9 @@ class VideoDecoder(nn.Module):
             dropout=self.dropout, recurrent_dropout=self.rnn_dropout,
             compute_dtype=self.compute_dtype,
             remat=self.scan_remat,
-            remat_policy=self.scan_remat_policy,
+            remat_policy=resolve_remat_policy(
+                self.scan_remat_policy, "decoder5"
+            ),
             unroll=self.scan_unroll,
             seq_axis=self.seq_axis,
             conv_packing=self.conv_packing,
@@ -309,13 +322,13 @@ class VideoDiscriminator(nn.Module):
                 )(x)
             x = leaky_relu(x)
         x = x.reshape(b, t, -1)
-        x = LSTM(units=f * 8, compute_dtype=self.compute_dtype, remat=self.scan_remat, remat_policy=self.scan_remat_policy, unroll=self.scan_unroll, kernel_impl=self.kernel_impl, name="lstm1")(x, training=training)
+        x = LSTM(units=f * 8, compute_dtype=self.compute_dtype, remat=self.scan_remat, remat_policy=resolve_remat_policy(self.scan_remat_policy, "lstm1"), unroll=self.scan_unroll, kernel_impl=self.kernel_impl, name="lstm1")(x, training=training)
         if self.use_batch_norm:
             x = nn.BatchNorm(
                 use_running_average=not training,
                 momentum=_BN_MOMENTUM, epsilon=_BN_EPS, name="rnn_bn1",
             )(x)
-        x = LSTM(units=f * 4, compute_dtype=self.compute_dtype, remat=self.scan_remat, remat_policy=self.scan_remat_policy, unroll=self.scan_unroll, kernel_impl=self.kernel_impl, name="lstm2")(x, training=training)
+        x = LSTM(units=f * 4, compute_dtype=self.compute_dtype, remat=self.scan_remat, remat_policy=resolve_remat_policy(self.scan_remat_policy, "lstm2"), unroll=self.scan_unroll, kernel_impl=self.kernel_impl, name="lstm2")(x, training=training)
         if self.use_batch_norm:
             x = nn.BatchNorm(
                 use_running_average=not training,
@@ -325,7 +338,7 @@ class VideoDiscriminator(nn.Module):
             units=self.state_size, activation="sigmoid",
             compute_dtype=self.compute_dtype,
             remat=self.scan_remat,
-            remat_policy=self.scan_remat_policy,
+            remat_policy=resolve_remat_policy(self.scan_remat_policy, "lstm3"),
             unroll=self.scan_unroll,
             kernel_impl=self.kernel_impl, name="lstm3",
         )(x, training=training)

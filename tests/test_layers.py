@@ -181,3 +181,53 @@ def test_remat_policies_identical_grads(rng, layer):
             ),
             grad, ref_grad,
         )
+
+
+def test_resolve_remat_policy_spec():
+    from kccotgan_tpu.models.layers import resolve_remat_policy
+
+    # bare policy applies everywhere
+    assert resolve_remat_policy("carry_only", "decoder5") == "carry_only"
+    assert resolve_remat_policy("save_recurrent", "lstm1") == "save_recurrent"
+    # per-layer overrides on top of a bare default
+    spec = "carry_only,decoder4=save_recurrent, decoder5=save_recurrent"
+    assert resolve_remat_policy(spec, "decoder4") == "save_recurrent"
+    assert resolve_remat_policy(spec, "decoder5") == "save_recurrent"
+    assert resolve_remat_policy(spec, "encoder1") == "carry_only"
+    # overrides-only spec keeps the carry_only default elsewhere
+    assert resolve_remat_policy("decoder5=save_recurrent", "lstm2") == "carry_only"
+    # unknown policy values surface at trace time via _remat
+    from kccotgan_tpu.models.layers import _remat
+
+    with pytest.raises(ValueError):
+        _remat(lambda c, x: (c, x), "not_a_policy", "rconv")
+
+
+def test_per_layer_remat_spec_identical_grads():
+    """A per-layer remat-policy spec is still a pure schedule choice:
+    encoder loss + grads are bit-identical to uniform carry_only."""
+    from kccotgan_tpu.models import VideoEncoder
+
+    rng = np.random.default_rng(3)
+    video = jnp.array(rng.uniform(size=(2, 16, 4, 16, 1)).astype(np.float32))
+
+    def run(policy):
+        enc = VideoEncoder(
+            int_time_steps=2, filter_size=2, scan_remat=True,
+            scan_remat_policy=policy,
+        )
+        params = enc.init(jax.random.PRNGKey(0), video, training=False)
+
+        def f(p):
+            pyr = enc.apply(p, video, training=False)
+            return sum(jnp.sum(level ** 2) for level in pyr[1:])
+
+        return jax.value_and_grad(f)(params)
+
+    ref_loss, ref_grad = run("carry_only")
+    loss, grad = run("carry_only,encoder2=save_recurrent,encoder4=save_recurrent")
+    assert np.asarray(loss) == np.asarray(ref_loss)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        grad, ref_grad,
+    )

@@ -379,17 +379,22 @@ def test_scan_remat_is_exact(tiny_batch):
     np.testing.assert_allclose(results[True][1], results[False][1], rtol=1e-5, atol=1e-8)
 
 
-def test_share_context_encoding_exact(tiny_batch):
+@pytest.mark.parametrize("kernel", ["none", "1d"])
+def test_share_context_encoding_exact(tiny_batch, kernel):
     """Encoding the context ONCE per step (value reused by the disc
     phase, cotangent chained through jax.vjp in the gen phase) must
     match the two-forward trace: same metrics, same updated params
     for all four modules.  Mathematically identical — only the number
-    of encoder forward executions changes."""
+    of encoder forward executions changes.  The '1d' case additionally
+    covers the shared smoothed-real video (param- and z-free, computed
+    once per step under share)."""
     import dataclasses
 
     results = {}
     for share in (False, True):
-        cfg = dataclasses.replace(TINY, share_context_encoding=share)
+        cfg = dataclasses.replace(
+            TINY, share_context_encoding=share, kernel=kernel
+        )
         mods = GanModules(cfg)
         state = create_train_state(cfg, jax.random.PRNGKey(11))
         step_fn = build_train_step(cfg, mods, jit=True, donate=False)
