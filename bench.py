@@ -99,6 +99,10 @@ def main() -> int:
     p.add_argument("--time-steps", type=int, default=None)
     p.add_argument("--context", type=int, default=None)
     p.add_argument("--channels", type=int, default=None)
+    p.add_argument("--filter-size", type=int, default=8,
+                   help="generator/discriminator base filter size "
+                        "(reference default 8; larger values probe the "
+                        "fat-channel regime where MXU lanes fill up)")
     p.add_argument("--no-cache", action="store_true")
     p.add_argument(
         "--solver", default="auto", choices=["auto", "scan", "pallas"],
@@ -163,7 +167,10 @@ def main() -> int:
         scan_remat_policy=args.remat_policy,
         conv_packing=args.conv_packing,
         kernel_impl=args.kernel_impl,
-        model=ModelConfig(x_height=64, x_width=64, n_channels=args.channels),
+        model=ModelConfig(
+            x_height=64, x_width=64, n_channels=args.channels,
+            g_filter_size=args.filter_size, d_filter_size=args.filter_size,
+        ),
     )
     print(
         f"# bench[{args.config}]: device={jax.devices()[0]} batch={args.batch} "
