@@ -328,6 +328,18 @@ class ConvLSTM2D(nn.Module):
                 and self.recurrent_activation == "sigmoid"
             )
             if use_pallas:
+                # Scoped-VMEM feasibility: fat-channel layers whose
+                # weight copy / dW accumulator exceed Mosaic's stack
+                # limit fall back to the scan body (e.g. encoder4 at
+                # filter_size=16: the bf16 rk copy alone is 105 MiB).
+                from .pallas_convlstm import fits_vmem
+
+                use_pallas = fits_vmem(
+                    b, ho, wo, f,
+                    self.kernel_size[0], self.kernel_size[1],
+                    jnp.dtype(cdt).itemsize,
+                )
+            if use_pallas:
                 # Fused single-kernel recurrence: consumes the hoisted
                 # stack in its natural [B, T, ...] layout (no B<->T
                 # transpose pair) and keeps (h, c) in VMEM for all T.

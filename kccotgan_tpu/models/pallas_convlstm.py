@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["convlstm_scan_pallas"]
+__all__ = ["convlstm_scan_pallas", "fits_vmem"]
 
 
 def _interpret() -> bool:
@@ -95,6 +95,52 @@ def _bwd_batch_tile(
         while b % bt:
             bt -= 1
     return bt
+
+
+def fits_vmem(
+    b: int, ho: int, wo: int, f: int, kh: int, kw: int, itemsize: int
+) -> bool:
+    """Can the fused kernels fit Mosaic's scoped-VMEM stack at this
+    layer shape (any batch tile)?
+
+    The models mirror the measured stack accounting that calibrated
+    `_batch_tile`/`_bwd_batch_tile`:
+
+    * fwd: the dominant fixed term is the compute-dtype copy of the
+      whole recurrent kernel [kh, kw, f, 4f] (measured: enc4 at
+      f=512/k=5/bf16 → 105 MiB weight copy, 108.54 MiB total stack vs
+      the 100 MiB limit — the OOM this predicate exists to pre-empt),
+      plus the per-sample double-buffered blocks at bt=1.
+    * bwd: the fixed ~3.5× f32-weight term from `_bwd_batch_tile`
+      plus its per-sample set at bt=1.
+
+    Layers that don't fit fall back to the lax.scan body (dispatch in
+    layers.ConvLSTM2D) — same math, different schedule.
+    """
+    lane = 128
+    f4p, fp = max(4 * f, lane), max(f, lane)
+    s = ho * wo
+    # fwd
+    fwd_fixed = kh * kw * f * f4p * itemsize  # cdt weight copy
+    fwd_per = s * (
+        4 * itemsize * f4p     # x_t double buffer
+        + 2 * itemsize * fp    # y_t double buffer
+        + 8 * fp               # cs f32 double buffer
+        + 24 * fp              # h0/c0/hn/cn blocks + h/c scratch (f32)
+        + 8 * f4p              # f32 gate accumulator + z live set
+        + 2 * itemsize * f4p   # padded-h temporary
+    )
+    if 1.1 * fwd_fixed + fwd_per > 95 * 1024 * 1024:  # 100 MiB limit
+        return False
+    # bwd (terms from _bwd_batch_tile; calibration anchors: enc4-f8
+    # fixed 91.75 MiB + per(bt<=32) fits under the 112 MiB limit,
+    # dec5-f8 per(bt=1) ~63 MiB fits, enc4-f16 fixed 367 MiB must not)
+    bwd_fixed = 3.5 * 4 * kh * kw * f * f4p
+    bwd_per = 1.3 * s * (
+        4 * itemsize * f4p + 4 * itemsize * f4p + 4 * itemsize * fp
+        + 8 * fp + 32 * fp + 8 * fp + 16 * f4p + 2 * itemsize * f4p
+    )
+    return bwd_fixed + bwd_per <= 105 * 1024 * 1024  # 112 MiB limit
 
 
 def _act(name: str):

@@ -208,3 +208,43 @@ def test_bwd_batch_tile_fits_measured_vmem():
     # the two shapes that OOM'd at the old tiles (118.6 / 126 MiB):
     assert _bwd_batch_tile(32, 4, 4, 256, 5, 5, 2) <= 8
     assert _bwd_batch_tile(32, 64, 64, 8, 8, 8, 2) == 1
+
+
+def test_fits_vmem_feasibility_gate():
+    """The scoped-VMEM feasibility predicate must admit every flagship
+    layer shape (all ran the fused kernel on the real chip) and reject
+    the fat-channel shape that Mosaic-OOM'd (encoder4 at
+    filter_size=16: f=512, k=5 — its bf16 weight copy alone is 105 MiB
+    vs the 100 MiB fwd stack limit)."""
+    from kccotgan_tpu.models.pallas_convlstm import fits_vmem
+
+    flagship = {
+        "enc1": (32, 32, 32, 6), "enc2": (16, 16, 64, 6),
+        "enc3": (8, 8, 128, 5), "enc4": (4, 4, 256, 5),
+        "dec2": (8, 8, 128, 4), "dec3": (16, 16, 64, 6),
+        "dec4": (32, 32, 32, 8), "dec5": (64, 64, 8, 8),
+    }
+    for name, (ho, wo, f, k) in flagship.items():
+        assert fits_vmem(32, ho, wo, f, k, k, 2), name
+    assert not fits_vmem(32, 4, 4, 512, 5, 5, 2)  # the measured OOM
+
+
+def test_infeasible_shape_falls_back_to_scan():
+    """ConvLSTM2D(kernel_impl='pallas') at a VMEM-infeasible fat shape
+    must dispatch to the scan body (same math) instead of building the
+    fused kernel — pinned by equality with kernel_impl='scan'."""
+    rng = np.random.default_rng(5)
+    # f=512 k=5 on a tiny spatial grid: infeasible per fits_vmem.
+    x = jnp.asarray(rng.normal(size=(1, 2, 4, 4, 8)), jnp.float32)
+
+    def run(impl):
+        mod = ConvLSTM2D(
+            filters=512, kernel_size=(5, 5), strides=(1, 1),
+            kernel_impl=impl,
+        )
+        params = mod.init(jax.random.PRNGKey(0), x, training=False)
+        return mod.apply(params, x, training=False)
+
+    np.testing.assert_array_equal(
+        np.asarray(run("pallas")), np.asarray(run("scan"))
+    )
