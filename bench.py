@@ -83,6 +83,9 @@ def roofline(step_fn, state, batch, dt: float):
 # Repeatable benchmark configurations (PARITY.md perf table rows).
 # 'default' is the flagship the driver records; the others are the
 # BASELINE.json configs #3 (RGB mazes-shaped) and #5 (long horizon).
+# Config #4 (BAIR push) has the identical device shape as mazes_rgb
+# (B=8, T=15, C=3, 64x64 — presets.py), so that row covers both; #1
+# (CPU-runnable small) is covered by the test suite.
 BENCH_CONFIGS = {
     "default": dict(batch=32, time_steps=20, context=10, channels=1),
     "mazes_rgb": dict(batch=8, time_steps=15, context=5, channels=3),
