@@ -161,6 +161,14 @@ class TrainConfig:
     # two-forward trace.
     share_context_encoding: bool = True
 
+    # failure recovery (SURVEY §5.3 "checkpoint-based restart"): on a
+    # non-finite loss the trainer restores the last verified-finite
+    # checkpoint, re-seeds the step RNG (fold_in of the retry counter),
+    # skips past the offending batch, and continues — up to this many
+    # times per run.  0 = the reference's sentinel behavior (append to
+    # train_notes and stop, `kernel_train.py:323-329`).
+    nan_recovery_retries: int = 0
+
     # bookkeeping
     seed: int = 1
     save_freq: int = 10

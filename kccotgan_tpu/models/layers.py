@@ -57,6 +57,60 @@ def _remat(step, policy_name: str, saved_name: str):
     return jax.checkpoint(step, prevent_cse=False, policy=policy)
 
 
+REMAT_POLICIES = frozenset({"carry_only", "save_recurrent"})
+# The flax module names of every remat-wrapped recurrence across the
+# four models (encoder pyramid, U-Net decoder, discriminator LSTMs).
+REMAT_LAYER_NAMES = frozenset(
+    {f"encoder{i}" for i in range(1, 5)}
+    | {f"decoder{i}" for i in range(2, 6)}
+    | {f"lstm{i}" for i in range(1, 4)}
+)
+
+
+def parse_remat_spec(spec: str) -> tuple[str, dict[str, str]]:
+    """Parse + validate a remat-policy spec into (default, overrides).
+
+    Raises ``ValueError`` on unknown policy tokens, unknown layer names,
+    or more than one bare default token — a typo like
+    ``'decodr5=save_recurrent'`` or ``'carryonly'`` fails HERE (CLI /
+    config time) instead of silently no-opping or erroring mid-trace.
+    """
+    default = "carry_only"
+    seen_bare = False
+    overrides: dict[str, str] = {}
+    for tok in str(spec).split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        if "=" in tok:
+            name, _, pol = tok.partition("=")
+            name, pol = name.strip(), pol.strip()
+            if name not in REMAT_LAYER_NAMES:
+                raise ValueError(
+                    f"unknown layer name in remat spec: {name!r} "
+                    f"(known: {sorted(REMAT_LAYER_NAMES)})"
+                )
+            if pol not in REMAT_POLICIES:
+                raise ValueError(
+                    f"unknown remat policy {pol!r} for layer {name!r} "
+                    f"(choices: {sorted(REMAT_POLICIES)})"
+                )
+            overrides[name] = pol
+        else:
+            if tok not in REMAT_POLICIES:
+                raise ValueError(
+                    f"unknown remat policy: {tok!r} "
+                    f"(choices: {sorted(REMAT_POLICIES)})"
+                )
+            if seen_bare:
+                raise ValueError(
+                    "remat spec has more than one bare default token "
+                    f"({spec!r}); use name=policy overrides"
+                )
+            default, seen_bare = tok, True
+    return default, overrides
+
+
 def resolve_remat_policy(spec: str, layer_name: str) -> str:
     """Resolve a (possibly per-layer) remat-policy spec for one layer.
 
@@ -70,33 +124,43 @@ def resolve_remat_policy(spec: str, layer_name: str) -> str:
       overrides, e.g.
       ``'carry_only,decoder4=save_recurrent,decoder5=save_recurrent'``.
 
-    Layer names are the flax module names: ``encoder1..4``,
-    ``decoder2..5``, ``lstm1..3``.  Unknown policy values are rejected
-    by ``_remat`` at trace time; unknown layer names are silently
-    unused (so one spec can serve models that differ in depth).
+    Layer names are the flax module names (``REMAT_LAYER_NAMES``):
+    ``encoder1..4``, ``decoder2..5``, ``lstm1..3``.  Specs are
+    validated eagerly by ``parse_remat_spec``: unknown layer names,
+    unknown policies, and duplicate bare defaults raise ``ValueError``.
     """
-    default = "carry_only"
-    overrides: dict[str, str] = {}
-    for tok in str(spec).split(","):
-        tok = tok.strip()
-        if not tok:
-            continue
-        if "=" in tok:
-            name, _, pol = tok.partition("=")
-            overrides[name.strip()] = pol.strip()
-        else:
-            default = tok
+    default, overrides = parse_remat_spec(spec)
     return overrides.get(layer_name, default)
 
 __all__ = [
     "ConvLSTM2D",
     "LSTM",
+    "parse_remat_spec",
     "resolve_remat_policy",
     "ConvTranspose2D",
     "Conv2D",
     "hard_sigmoid",
     "leaky_relu",
 ]
+
+
+_PALLAS_FALLBACK_WARNED: set = set()
+
+
+def _warn_pallas_fallback(layer: str | None, reason: str) -> None:
+    """One-time host-side (trace-time) notice that an explicit
+    ``kernel_impl='pallas'`` request fell back to the scan body for this
+    layer — without it, a user benchmarking 'pallas' may unknowingly
+    measure scan performance for some layers (round-4 ADVICE)."""
+    import logging
+
+    key = (layer, reason)
+    if key not in _PALLAS_FALLBACK_WARNED:
+        _PALLAS_FALLBACK_WARNED.add(key)
+        logging.getLogger(__name__).warning(
+            "kernel_impl='pallas': layer %s falls back to the lax.scan "
+            "body (%s)", layer or "<unnamed>", reason
+        )
 
 
 def hard_sigmoid(x):
@@ -327,6 +391,12 @@ class ConvLSTM2D(nn.Module):
                 and self.activation == "tanh"
                 and self.recurrent_activation == "sigmoid"
             )
+            if self.kernel_impl == "pallas" and not use_pallas:
+                _warn_pallas_fallback(
+                    self.name,
+                    "recurrent dropout, a seq_axis, or non-default "
+                    "activations are not covered by the fused kernel",
+                )
             if use_pallas:
                 # Scoped-VMEM feasibility: fat-channel layers whose
                 # weight copy / dW accumulator exceed Mosaic's stack
@@ -335,10 +405,18 @@ class ConvLSTM2D(nn.Module):
                 from .pallas_convlstm import fits_vmem
 
                 use_pallas = fits_vmem(
-                    b, ho, wo, f,
+                    ho, wo, f,
                     self.kernel_size[0], self.kernel_size[1],
                     jnp.dtype(cdt).itemsize,
                 )
+                if not use_pallas:
+                    _warn_pallas_fallback(
+                        self.name,
+                        f"shape [b={b}, {ho}x{wo}, f={f}, "
+                        f"k={self.kernel_size[0]}x{self.kernel_size[1]}] "
+                        "exceeds the Mosaic scoped-VMEM stack model "
+                        "(pallas_convlstm.fits_vmem)",
+                    )
             if use_pallas:
                 # Fused single-kernel recurrence: consumes the hoisted
                 # stack in its natural [B, T, ...] layout (no B<->T
@@ -520,6 +598,13 @@ class LSTM(nn.Module):
             # on CPU) has no such layout constraint.
             and (4 * self.units >= 128 or jax.default_backend() != "tpu")
         )
+        if self.kernel_impl == "pallas" and not use_pallas:
+            _warn_pallas_fallback(
+                self.name,
+                "a seq_axis, non-default activations, or a gate width "
+                "under one 128-lane vreg is not covered by the fused "
+                "LSTM kernel",
+            )
         if use_pallas:
             # Fused single-kernel recurrence: consumes the hoisted
             # projection in its natural [B, T, 4U] layout (no B<->T

@@ -60,6 +60,18 @@ _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 # ceiling and its own batch-tile model (below).
 _VMEM_LIMIT_BWD = pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024)
 
+# Feasibility/tiling budgets DERIVED from the compiler limits above (so
+# the predicate and the compiler params cannot drift apart — round-4
+# ADVICE).  The headroom margins are the v5e calibration slack: the
+# stack models below underestimate Mosaic's true accounting by a few
+# MiB at the measured anchor shapes, so the budgets sit 5 / 7 / 17 MiB
+# under the respective limits (fwd: 95 MiB vs the 100 MiB limit; bwd
+# stack: 105 MiB vs 112; bwd batch-tile: 95 MiB vs 112 — the tile
+# model's per-sample terms carry the larger error).
+_FWD_STACK_BUDGET = _VMEM_LIMIT.vmem_limit_bytes - 5 * 1024 * 1024
+_BWD_STACK_BUDGET = _VMEM_LIMIT_BWD.vmem_limit_bytes - 7 * 1024 * 1024
+_BWD_TILE_BUDGET = _VMEM_LIMIT_BWD.vmem_limit_bytes - 17 * 1024 * 1024
+
 
 def _bwd_batch_tile(
     b: int, ho: int, wo: int, f: int, kh: int, kw: int, itemsize: int
@@ -88,7 +100,7 @@ def _bwd_batch_tile(
     )
     per *= 1.3  # measured-vs-model safety (dec5: 126 MiB actual at bt=2)
     fixed = 3.5 * 4 * kh * kw * f * f4p
-    budget = 95 * 1024 * 1024 - fixed
+    budget = _BWD_TILE_BUDGET - fixed
     bt = b
     while bt > 1 and per * bt > budget:
         bt -= 1
@@ -98,7 +110,7 @@ def _bwd_batch_tile(
 
 
 def fits_vmem(
-    b: int, ho: int, wo: int, f: int, kh: int, kw: int, itemsize: int
+    ho: int, wo: int, f: int, kh: int, kw: int, itemsize: int
 ) -> bool:
     """Can the fused kernels fit Mosaic's scoped-VMEM stack at this
     layer shape (any batch tile)?
@@ -130,7 +142,7 @@ def fits_vmem(
         + 8 * f4p              # f32 gate accumulator + z live set
         + 2 * itemsize * f4p   # padded-h temporary
     )
-    if 1.1 * fwd_fixed + fwd_per > 95 * 1024 * 1024:  # 100 MiB limit
+    if 1.1 * fwd_fixed + fwd_per > _FWD_STACK_BUDGET:
         return False
     # bwd (terms from _bwd_batch_tile; calibration anchors: enc4-f8
     # fixed 91.75 MiB + per(bt<=32) fits under the 112 MiB limit,
@@ -140,7 +152,7 @@ def fits_vmem(
         4 * itemsize * f4p + 4 * itemsize * f4p + 4 * itemsize * fp
         + 8 * fp + 32 * fp + 8 * fp + 16 * f4p + 2 * itemsize * f4p
     )
-    return bwd_fixed + bwd_per <= 105 * 1024 * 1024  # 112 MiB limit
+    return bwd_fixed + bwd_per <= _BWD_STACK_BUDGET
 
 
 def _act(name: str):

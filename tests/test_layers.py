@@ -203,6 +203,26 @@ def test_resolve_remat_policy_spec():
         _remat(lambda c, x: (c, x), "not_a_policy", "rconv")
 
 
+def test_parse_remat_spec_validation():
+    """Specs are validated eagerly: unknown layer names, unknown
+    policies, and duplicate bare defaults all raise (round-4 ADVICE —
+    a typo like 'decodr5=save_recurrent' previously no-opped)."""
+    from kccotgan_tpu.models.layers import parse_remat_spec
+
+    assert parse_remat_spec("carry_only") == ("carry_only", {})
+    default, over = parse_remat_spec("save_recurrent,decoder5=carry_only")
+    assert default == "save_recurrent" and over == {"decoder5": "carry_only"}
+
+    with pytest.raises(ValueError, match="unknown layer name"):
+        parse_remat_spec("decodr5=save_recurrent")
+    with pytest.raises(ValueError, match="unknown remat policy"):
+        parse_remat_spec("carryonly")
+    with pytest.raises(ValueError, match="unknown remat policy"):
+        parse_remat_spec("decoder5=saverecurrent")
+    with pytest.raises(ValueError, match="more than one bare default"):
+        parse_remat_spec("carry_only,save_recurrent")
+
+
 def test_per_layer_remat_spec_identical_grads():
     """A per-layer remat-policy spec is still a pure schedule choice:
     encoder loss + grads are bit-identical to uniform carry_only."""

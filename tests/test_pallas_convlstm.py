@@ -225,8 +225,8 @@ def test_fits_vmem_feasibility_gate():
         "dec4": (32, 32, 32, 8), "dec5": (64, 64, 8, 8),
     }
     for name, (ho, wo, f, k) in flagship.items():
-        assert fits_vmem(32, ho, wo, f, k, k, 2), name
-    assert not fits_vmem(32, 4, 4, 512, 5, 5, 2)  # the measured OOM
+        assert fits_vmem(ho, wo, f, k, k, 2), name
+    assert not fits_vmem(4, 4, 512, 5, 5, 2)  # the measured OOM
 
 
 def test_infeasible_shape_falls_back_to_scan():

@@ -258,6 +258,45 @@ def test_cli_flags_override_preset():
     ) == base
 
 
+def test_cli_abbreviated_flags_override_preset():
+    """argparse prefix abbreviations (e.g. ``--warmu 500``) must count
+    as explicitly typed: round-4 VERDICT weak #6 — the old argv
+    string-matching missed them and silently reverted to the preset."""
+    from kccotgan_tpu.cli.main import (
+        build_parser, config_from_args, provided_dests,
+    )
+    from kccotgan_tpu.config import get_preset
+
+    base = get_preset("mmnist_full")
+    parser = build_parser()
+    argv = ["--preset", "mmnist_full", "--warmu", "500"]
+    provided = provided_dests(parser, argv)
+    assert "warmup" in provided
+    cfg = config_from_args(parser.parse_args(argv), provided)
+    assert cfg.warmup_steps == 500
+    # untyped flags still follow the preset
+    assert cfg.lr == base.lr
+
+
+def test_cli_remat_policy_validated_eagerly():
+    """A misspelled --remat_policy fails as a clean argparse error at
+    parse time, not a ValueError at trace time (round-4 ADVICE)."""
+    import pytest
+
+    from kccotgan_tpu.cli.main import build_parser
+
+    parser = build_parser()
+    for bad in ("carryonly", "decodr5=save_recurrent",
+                "decoder5=saverecurrent", "carry_only,save_recurrent"):
+        with pytest.raises(SystemExit):
+            parser.parse_args(["--remat_policy", bad])
+    # the valid forms still parse
+    args = parser.parse_args(
+        ["--remat_policy", "carry_only,decoder5=save_recurrent"]
+    )
+    assert args.remat_policy == "carry_only,decoder5=save_recurrent"
+
+
 def test_train_step_smoothing_modes(tiny_batch):
     for kern in ("1d", "3d"):
         cfg = TrainConfig(
@@ -357,6 +396,62 @@ def test_trainer_fit_synthetic(tmp_path):
     with open(metrics_path) as f:
         tags = {json.loads(line).get("tag") for line in f}
     assert {"eval/psnr", "eval/ssim"} <= tags
+
+
+def _poison(batch):
+    bad = np.array(batch)
+    bad[0, 0, 0, 0, 0] = np.nan
+    return bad
+
+
+def test_nan_sentinel_stops_without_recovery(tmp_path):
+    """retries=0 keeps the reference's sentinel semantics: write the
+    train_notes line and stop (`kernel_train.py:323-329`)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY, out_dir=str(tmp_path), run_name="nanstop",
+        save_freq=10_000, ckpt_freq=10_000,
+    )
+    data = bouncing_blobs(4, cfg.total_time_steps, 16, 16, seed=5)
+    good = data[: cfg.batch_size]
+    batches = iter([good, _poison(good), good, good])
+    trainer = Trainer(cfg)
+    _, summary = trainer.fit(batches, max_steps=4)
+    assert summary["status"] == "failed"
+    assert summary["recoveries"] == 0
+    notes = open(os.path.join(trainer.run_dir, "train_notes.txt")).read()
+    assert "Training failed!" in notes
+
+
+def test_nan_recovery_restores_and_continues(tmp_path):
+    """Automated checkpoint-based restart (SURVEY §5.3): a poisoned
+    batch NaNs the state mid-run; the trainer restores the last
+    VERIFIED checkpoint (one whose own metrics passed the finite check
+    — round-4 VERDICT weak #5's poisoned-latest ordering), re-seeds,
+    skips the offending batch, and completes with finite params."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY, out_dir=str(tmp_path), run_name="nanrec",
+        ckpt_freq=1, nan_recovery_retries=2, save_freq=10_000,
+    )
+    data = bouncing_blobs(4, cfg.total_time_steps, 16, 16, seed=5)
+    good = data[: cfg.batch_size]
+    # g, g, POISON, then enough good batches to reach max_steps again
+    batches = iter([good, good, _poison(good), good, good, good])
+    trainer = Trainer(cfg)
+    state, summary = trainer.fit(batches, max_steps=4)
+    assert summary["status"] == "completed"
+    assert summary["steps"] == 4
+    assert summary["recoveries"] == 1
+    for leaf in jax.tree_util.tree_leaves(
+        (state.enc_params, state.dec_params, state.h_params, state.m_params)
+    ):
+        assert np.isfinite(np.asarray(leaf)).all()
+    notes = open(os.path.join(trainer.run_dir, "train_notes.txt")).read()
+    assert "re-seeded (retry 1/2)" in notes
+    assert "Training failed!" not in notes
 
 
 def test_scan_remat_is_exact(tiny_batch):
