@@ -102,20 +102,29 @@ class GanModules:
 
 
 def make_optimizers(cfg: TrainConfig):
-    """Four Adam optimizers (Keras defaults: eps 1e-7) on the warmup +
+    """Four Keras-3-exact Adam optimizers (eps 1e-7, Keras update rule
+    and bias-correction cadence — see ``keras_adam``) on the warmup +
     staircase-decay schedule; offsets reproduce the reference's
-    double-apply cadence when ``keras_double_step_quirk``."""
+    shared-optimizer double-apply cadence when
+    ``keras_double_step_quirk`` (LR *and* bias-correction powers both
+    advance 2x per train iteration, exactly like the two
+    ``apply_gradients`` calls at `kernel_train.py:254-255,290-291`)."""
+    from .keras_adam import keras_adam
 
     def adam(offset: int) -> optax.GradientTransformation:
+        # RAW Keras-step schedule: keras_adam maps its per-group update
+        # count to the shared Keras iteration (2n + offset) itself, so
+        # the schedule and the bias-correction powers stay in lockstep.
         sched = warmup_staircase_exponential_decay(
             cfg.lr,
             cfg.warmup_steps,
             cfg.decay_steps,
             cfg.decay_rate,
-            double_step=cfg.keras_double_step_quirk,
-            offset=offset,
         )
-        return optax.adam(sched, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps)
+        return keras_adam(
+            sched, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps,
+            double_step=cfg.keras_double_step_quirk, offset=offset,
+        )
 
     # First apply in each Keras-optimizer pair gets offset 0, second 1:
     # disc: h then m (`kernel_train.py:254-255`); gen: enc then dec (:290-291).
