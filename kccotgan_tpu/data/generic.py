@@ -16,7 +16,7 @@ from typing import Iterator
 
 import numpy as np
 
-from .io import iter_tfrecord, parse_example
+from .io import iter_tfrecord, parse_example_arrays
 
 __all__ = ["flat_feature_samples"]
 
@@ -44,9 +44,13 @@ def flat_feature_samples(
             rng.shuffle(files)
         for path in files:
             for record in iter_tfrecord(path):
-                feats = parse_example(record)
+                # array-native parse: the packed float payload decodes
+                # into ONE numpy buffer (native C++ or np.frombuffer)
+                # instead of an 80k-element Python list — the host-side
+                # cost that would otherwise starve the device step.
+                feats = parse_example_arrays(record)
                 x = feats.get(feature_name)
-                if not x or len(x) != expected:
+                if x is None or len(x) != expected:
                     continue
                 arr = np.asarray(x, dtype=np.float32)
                 yield arr.reshape(height, time_steps, width, channels)

@@ -16,7 +16,13 @@ import os
 
 from . import tfrecord as _py
 
-__all__ = ["iter_tfrecord", "parse_example", "parse_sequence_example", "backend"]
+__all__ = [
+    "iter_tfrecord",
+    "parse_example",
+    "parse_example_arrays",
+    "parse_sequence_example",
+    "backend",
+]
 
 
 def _pick():
@@ -42,4 +48,5 @@ def backend() -> str:
 
 iter_tfrecord = _impl.iter_tfrecord
 parse_example = _impl.parse_example
+parse_example_arrays = _impl.parse_example_arrays
 parse_sequence_example = _impl.parse_sequence_example

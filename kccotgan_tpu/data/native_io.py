@@ -24,6 +24,7 @@ __all__ = [
     "load_library",
     "iter_tfrecord",
     "parse_example",
+    "parse_example_arrays",
     "parse_sequence_example",
     "masked_crc32c",
 ]
@@ -211,6 +212,42 @@ class _Parsed:
             out[key.decode("utf-8")] = self._feature(key)
         return out
 
+    def _feature_array(self, key: bytes):
+        """Array-native feature read: float/int lists come back as a
+        single numpy copy straight off the C++ buffers — no
+        ``.tolist()`` round-trip (that parity-exact path costs ~ms per
+        80k-float feature; this is ~µs)."""
+        lib, h = self._lib, self._h
+        kind = lib.kc_feature_kind(h, key)
+        n = lib.kc_feature_len(h, key)
+        if kind == 1:
+            return [
+                ctypes.string_at(
+                    lib.kc_feature_bytes_data(h, key, j),
+                    lib.kc_feature_bytes_size(h, key, j),
+                )
+                for j in range(n)
+            ]
+        if kind == 2:
+            if not n:
+                return np.zeros(0, np.float32)
+            ptr = lib.kc_feature_floats(h, key)
+            return np.ctypeslib.as_array(ptr, shape=(n,)).copy()
+        if kind == 3:
+            if not n:
+                return np.zeros(0, np.int64)
+            ptr = lib.kc_feature_ints(h, key)
+            return np.ctypeslib.as_array(ptr, shape=(n,)).copy()
+        return []
+
+    def feature_arrays(self) -> dict:
+        lib, h = self._lib, self._h
+        out = {}
+        for i in range(lib.kc_num_features(h)):
+            key = lib.kc_feature_key(h, i)
+            out[key.decode("utf-8")] = self._feature_array(key)
+        return out
+
     def feature_lists(self) -> dict:
         lib, h = self._lib, self._h
         out = {}
@@ -250,6 +287,12 @@ class _Parsed:
 def parse_example(record: bytes) -> dict:
     """tf.train.Example -> {feature_name: list} (native parse)."""
     return _Parsed(record).features()
+
+
+def parse_example_arrays(record: bytes) -> dict:
+    """tf.train.Example -> {feature_name: list[bytes] | np array}
+    (native parse, array-native numeric features)."""
+    return _Parsed(record).feature_arrays()
 
 
 def parse_sequence_example(record: bytes) -> tuple[dict, dict]:

@@ -29,6 +29,7 @@ from typing import Iterator
 __all__ = [
     "iter_tfrecord",
     "parse_example",
+    "parse_example_arrays",
     "parse_sequence_example",
     "masked_crc32c",
     "write_tfrecord",
@@ -194,6 +195,70 @@ def parse_example(record: bytes) -> dict:
     for field, _, val in _iter_fields(record):
         if field == 1:
             return _parse_features_map(val)
+    return {}
+
+
+def _parse_feature_arrays(buf: bytes):
+    """Feature -> list[bytes] | np.float32 array | np.int64 array.
+
+    The array-native variant of ``_parse_feature``: packed FloatLists
+    decode via ``np.frombuffer`` (zero Python-object churn) instead of
+    ``struct.unpack`` into a list — the difference between ~ms and ~µs
+    per video for flat-float features of H*W*T*C size (the 'animation'
+    format), which is what lets the host pipeline keep a TPU fed.
+    """
+    import numpy as np
+
+    for field, wire, val in _iter_fields(buf):
+        if field == 1:  # BytesList
+            return [v for f, _, v in _iter_fields(val) if f == 1]
+        if field == 2:  # FloatList (packed or repeated)
+            chunks = [
+                np.frombuffer(v, "<f4")
+                for f, w, v in _iter_fields(val)
+                if f == 1
+            ]
+            if not chunks:
+                return np.zeros(0, np.float32)
+            return chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+        if field == 3:  # Int64List
+            ints: list[int] = []
+            for f, w, v in _iter_fields(val):
+                if f != 1:
+                    continue
+                if w == 2:  # packed varints
+                    pos = 0
+                    while pos < len(v):
+                        x, pos = _read_varint(v, pos)
+                        ints.append(_to_signed64(x))
+                else:
+                    ints.append(_to_signed64(v))
+            return np.asarray(ints, np.int64)
+    return []
+
+
+def parse_example_arrays(record: bytes) -> dict:
+    """tf.train.Example -> {feature_name: list[bytes] | np array}.
+
+    Like ``parse_example`` but float/int features come back as numpy
+    arrays (float32 / int64) — the fast path for loaders that consume
+    large numeric features."""
+    for field, _, val in _iter_fields(record):
+        if field != 1:
+            continue
+        out = {}
+        for f, _, entry in _iter_fields(val):
+            if f != 1:
+                continue
+            key, feat = None, []
+            for ff, _, vv in _iter_fields(entry):
+                if ff == 1:
+                    key = vv.decode("utf-8")
+                elif ff == 2:
+                    feat = _parse_feature_arrays(vv)
+            if key is not None:
+                out[key] = feat
+        return out
     return {}
 
 

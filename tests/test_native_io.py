@@ -68,6 +68,21 @@ def test_parse_example_parity(rng):
         np.testing.assert_allclose(got["x"], want["x"], rtol=0, atol=0)
 
 
+def test_parse_example_arrays_parity(rng):
+    """The array-native parse (both backends) must equal the list-based
+    oracle value-for-value, with float32/int64 numpy dtypes."""
+    for rec in _example_records(rng):
+        want = py_io.parse_example(rec)
+        for impl in (py_io, native_io):
+            got = impl.parse_example_arrays(rec)
+            assert set(got) == set(want)
+            assert got["name"] == want["name"]
+            assert got["x"].dtype == np.float32
+            assert got["label"].dtype == np.int64
+            np.testing.assert_array_equal(got["x"], np.asarray(want["x"], np.float32))
+            np.testing.assert_array_equal(got["label"], np.asarray(want["label"]))
+
+
 def test_parse_sequence_example_parity(rng):
     ctx = {
         "0/image_aux1/encoded": [bytes(rng.integers(0, 256, 64, dtype=np.uint8))],
@@ -126,6 +141,11 @@ def test_unpacked_float_and_varint_int(rng):
     got = native_io.parse_example(rec)
     np.testing.assert_allclose(got["f"], want["f"])
     assert got["i"] == want["i"] == [7, 300]
+    # unpacked wire forms through the array-native parse too
+    for impl in (py_io, native_io):
+        arr = impl.parse_example_arrays(rec)
+        np.testing.assert_array_equal(arr["f"], np.asarray(want["f"], np.float32))
+        np.testing.assert_array_equal(arr["i"], np.asarray([7, 300]))
 
 
 def test_bair_loader_through_native(rng, tmp_path):
