@@ -128,6 +128,10 @@ def main() -> int:
     p.add_argument("--conv-packing", default="off", choices=["auto", "off"],
                    help="space-to-depth MXU-lane packing of stride-1 "
                         "small-filter ConvLSTMs")
+    p.add_argument("--time-major", action="store_true",
+                   help="time-major generator layout ([T, B, ...] "
+                        "through the encoder/decoder stacks — no B<->T "
+                        "scan transposes; bit-exact forward)")
     p.add_argument("--kernel-impl", default=None,
                    choices=["scan", "pallas", "auto"],
                    help="ConvLSTM/LSTM recurrence engine (fused Pallas "
@@ -170,6 +174,7 @@ def main() -> int:
         scan_remat_policy=args.remat_policy,
         conv_packing=args.conv_packing,
         kernel_impl=args.kernel_impl,
+        time_major=args.time_major,
         model=ModelConfig(
             x_height=64, x_width=64, n_channels=args.channels,
             g_filter_size=args.filter_size, d_filter_size=args.filter_size,

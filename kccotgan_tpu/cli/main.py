@@ -115,6 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "end-to-end on v5e — see PARITY.md), or auto = the "
                         "measured winner (scan). Default follows TrainConfig "
                         "so the CLI and config never disagree")
+    p.add_argument("--time_major", action="store_true",
+                   default=TrainConfig.time_major,
+                   help="time-major generator layout: the encoder "
+                        "pyramid + U-Net decoder run on [T, B, ...] "
+                        "tensors, eliminating the B<->T layout copies "
+                        "of every ConvLSTM scan; bit-exact forward)")
     p.add_argument("--profile_steps", type=str, default="",
                    help="'start,stop' step window to capture an XLA trace "
                         "into <run_dir>/profile (e.g. '5,8')")
@@ -144,6 +150,7 @@ _TRAIN_DESTS = {
     "solver": "sinkhorn_solver", "compute_dtype": "compute_dtype",
     "remat_policy": "scan_remat_policy", "kernel": "kernel",
     "conv_packing": "conv_packing", "kernel_impl": "kernel_impl",
+    "time_major": "time_major",
     "init_sigma": "init_sigma", "decaying_sigma": "decaying_sigma",
     "lr": "lr", "warmup": "warmup_steps", "num_devices": "num_devices",
     "seq_devices": "seq_devices",
@@ -250,6 +257,7 @@ def config_from_args(
         scan_remat_policy=args.remat_policy,
         conv_packing=args.conv_packing,
         kernel_impl=args.kernel_impl,
+        time_major=args.time_major,
         kernel=args.kernel,
         init_sigma=args.init_sigma,
         decaying_sigma=args.decaying_sigma,

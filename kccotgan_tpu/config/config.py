@@ -137,6 +137,17 @@ class TrainConfig:
     # under one 128-lane vreg) silently fall back to scan per-layer.
     kernel_impl: str = "scan"
 
+    # Time-major generator layout: the encoder pyramid and the whole
+    # U-Net decoder stack run on [T, B, ...] tensors, so every hoisted
+    # ConvLSTM conv fold and scan is transpose-free (batch-major
+    # materializes ~3 GB/step of pure B<->T layout copies at the
+    # flagship shape — tools/hlo_report.py).  The forward is bit-exact
+    # (row-permuted identical per-frame convs; pinned in
+    # tests/test_train.py); backward differs only by dL/dW reduction
+    # order (<= 2e-07 relative).  Rollout and sequence parallelism keep
+    # the batch-major modules (same param trees).
+    time_major: bool = False
+
     # Run the 4 discriminator passes (h/m x real/fake) as ONE vmapped
     # call over stacked params: 4x fewer scan launches at 4x batch.
     # Exact: vmapped BatchNorm normalizes each instance by its own

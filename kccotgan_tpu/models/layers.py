@@ -257,6 +257,16 @@ class ConvLSTM2D(nn.Module):
     # the paths the kernel does not cover (dropout, packing, seq_axis,
     # non-sigmoid/tanh activations).
     kernel_impl: str = "scan"
+    # Time-major plumbing: when True, ``x_seq`` is ``[T, B, H, W, C]``
+    # and the output sequence is returned ``[T, B, H', W', f]`` — the
+    # hoisted-conv fold and the scan then need NO B<->T transposes at
+    # all (at HEAD those transpose pairs materialize ~3 GB/step of pure
+    # layout copies in the flagship program — tools/hlo_report.py).
+    # The forward is bit-identical to the batch-major path (the fold is
+    # a row permutation of the same per-frame convs); the weight-grad
+    # reductions sum rows in a different order (ULP-level).  The
+    # carry-state API is unchanged ([B, ...]).
+    time_major: bool = False
 
     def _pack_factor(self, h: int, w: int, training: bool) -> int:
         if (
@@ -280,7 +290,10 @@ class ConvLSTM2D(nn.Module):
         initial_state: tuple[jnp.ndarray, jnp.ndarray] | None = None,
         return_state: bool = False,
     ):
-        b, t, h, w, c = x_seq.shape
+        if self.time_major:
+            t, b, h, w, c = x_seq.shape
+        else:
+            b, t, h, w, c = x_seq.shape
         kh, kw = self.kernel_size
         f = self.filters
         act = _act(self.activation)
@@ -329,15 +342,23 @@ class ConvLSTM2D(nn.Module):
                 ).reshape(4 * r * r * f)
             else:
                 bias_eff = None
+            fold = (
+                x_seq.reshape(t * b, h, w, c)
+                if self.time_major
+                else x_seq.reshape(b * t, h, w, c)
+            )
             xconv = packed_same_conv(
-                space_to_depth(x_seq.reshape(b * t, h, w, c), r),
+                space_to_depth(fold, r),
                 k_packed, (kh, kw), r, cdt, out_dtype=cdt,
             )
             ho, wo = xconv.shape[1], xconv.shape[2]
             fr = f * r * r  # per-gate packed channel count
-            xconv = (
-                xconv.reshape(b, t, ho, wo, 4 * fr).transpose(1, 0, 2, 3, 4)
-            )
+            if self.time_major:
+                xconv = xconv.reshape(t, b, ho, wo, 4 * fr)
+            else:
+                xconv = (
+                    xconv.reshape(b, t, ho, wo, 4 * fr).transpose(1, 0, 2, 3, 4)
+                )
 
             def rconv_fn(h_prev):
                 return packed_same_conv(
@@ -359,8 +380,13 @@ class ConvLSTM2D(nn.Module):
             # Time-major fold here: `tile` repeats the [B,...] mask
             # block T times, so row j*b+i gets sample i's mask ONLY when
             # T is the outer fold axis (a B-major fold would misalign
-            # masks across samples).
-            xf = x_seq.transpose(1, 0, 2, 3, 4).reshape(t * b, h, w, c)
+            # masks across samples).  A time-major input is already in
+            # that layout — no transpose needed.
+            xf = (
+                x_seq.reshape(t * b, h, w, c)
+                if self.time_major
+                else x_seq.transpose(1, 0, 2, 3, 4).reshape(t * b, h, w, c)
+            )
             parts = []
             for g in range(4):
                 kg = kernel[..., g * f : (g + 1) * f]
@@ -380,7 +406,8 @@ class ConvLSTM2D(nn.Module):
             # was measured SLOWER end-to-end: 169.0 vs 161.5 ms — XLA
             # lays out the B-major fold + output transpose better.)
             xconv = _same_conv(
-                x_seq.reshape(b * t, h, w, c), kernel, self.strides, cdt,
+                x_seq.reshape(t * b if self.time_major else b * t, h, w, c),
+                kernel, self.strides, cdt,
                 out_dtype=cdt,
             )
             ho, wo = xconv.shape[1], xconv.shape[2]
@@ -388,14 +415,16 @@ class ConvLSTM2D(nn.Module):
                 self.kernel_impl == "pallas"
                 and not use_rec_dropout
                 and self.seq_axis is None
+                and not self.time_major  # the kernel speaks [B, T, ...]
                 and self.activation == "tanh"
                 and self.recurrent_activation == "sigmoid"
             )
             if self.kernel_impl == "pallas" and not use_pallas:
                 _warn_pallas_fallback(
                     self.name,
-                    "recurrent dropout, a seq_axis, or non-default "
-                    "activations are not covered by the fused kernel",
+                    "recurrent dropout, a seq_axis, time_major layout, or "
+                    "non-default activations are not covered by the fused "
+                    "kernel",
                 )
             if use_pallas:
                 # Scoped-VMEM feasibility: fat-channel layers whose
@@ -441,8 +470,12 @@ class ConvLSTM2D(nn.Module):
                 if return_state:
                     return out, carry
                 return out
-            # [B*T, H', W', 4f] -> [T, B, H', W', 4f] for scan
-            xconv = xconv.reshape(b, t, ho, wo, 4 * f).transpose(1, 0, 2, 3, 4)
+            if self.time_major:
+                # already [T*B, ...]: the scan stack needs NO transpose
+                xconv = xconv.reshape(t, b, ho, wo, 4 * f)
+            else:
+                # [B*T, H', W', 4f] -> [T, B, H', W', 4f] for scan
+                xconv = xconv.reshape(b, t, ho, wo, 4 * f).transpose(1, 0, 2, 3, 4)
             fr, bias_eff, rconv_fn = f, bias, None
 
         if use_rec_dropout:
@@ -515,8 +548,13 @@ class ConvLSTM2D(nn.Module):
         else:
             carry, out = lax.scan(step, (h0, c0), xconv, unroll=self.unroll)
         # Transpose in compute precision, hand back f32 at the module
-        # boundary (consumers' casts fuse with this convert).
-        out = out.transpose(1, 0, 2, 3, 4).astype(jnp.float32)
+        # boundary (consumers' casts fuse with this convert).  Under
+        # time_major the scan's natural [T, B, ...] output IS the
+        # boundary layout — no transpose.
+        if self.time_major:
+            out = out.astype(jnp.float32)
+        else:
+            out = out.transpose(1, 0, 2, 3, 4).astype(jnp.float32)
         if r > 1:
             from .conv_packing import depth_to_space as _d2s
 

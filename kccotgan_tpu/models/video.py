@@ -89,6 +89,12 @@ class VideoEncoder(nn.Module):
     # 'pallas' (fused single-kernel recurrence, models/pallas_convlstm.py;
     # falls back to scan per-layer where unsupported).
     kernel_impl: str = "scan"
+    # Time-major internal layout: ONE transpose of the input video into
+    # [T, B, H, W, C] and the whole pyramid stays time-major ([T', B,
+    # h, w, c] levels) — every ConvLSTM's hoisted-conv fold and scan
+    # then run transpose-free (see layers.ConvLSTM2D.time_major).
+    # Bit-exact forward; pair with a time-major VideoDecoder.
+    time_major: bool = False
 
     @nn.compact
     def __call__(
@@ -110,11 +116,21 @@ class VideoEncoder(nn.Module):
         ``slice_time=False`` skips the ``[:, Tc-1:]`` pyramid slicing
         (used by rollout, which encodes single frames).
         """
-        x = jnp.transpose(video, (0, 2, 1, 3, 4))  # -> [B, T, H, W, C]
+        if self.time_major:
+            x = jnp.transpose(video, (2, 0, 1, 3, 4))  # -> [T, B, H, W, C]
+
+            def tslice(seq, tc):
+                return seq[tc - 1 :]
+        else:
+            x = jnp.transpose(video, (0, 2, 1, 3, 4))  # -> [B, T, H, W, C]
+
+            def tslice(seq, tc):
+                return seq[:, tc - 1 :]
+
         tc = self.int_time_steps if slice_time else 1
         f = self.filter_size
         specs = [(f * 4, 6), (f * 8, 6), (f * 16, 5), (f * 32, 5)]
-        pyramid = [x[:, tc - 1 :]]
+        pyramid = [tslice(x, tc)]
         h = x
         new_carry = []
         for i, (filters, k) in enumerate(specs):
@@ -134,6 +150,7 @@ class VideoEncoder(nn.Module):
                 seq_axis=self.seq_axis,
                 conv_packing=self.conv_packing,
                 kernel_impl=self.kernel_impl,
+                time_major=self.time_major,
                 name=f"encoder{i + 1}",
             )(
                 h,
@@ -144,7 +161,7 @@ class VideoEncoder(nn.Module):
             new_carry.append(state)
             if self.use_norm:
                 h = nn.LayerNorm(epsilon=_LN_EPS, name=f"norm{i + 1}")(h)
-            pyramid.append(h[:, tc - 1 :])
+            pyramid.append(tslice(h, tc))
         if return_carry:
             return pyramid, tuple(new_carry)
         return pyramid
@@ -195,6 +212,12 @@ class VideoDecoder(nn.Module):
     conv_packing: str = "off"
     # Recurrence engine per ConvLSTM (see VideoEncoder.kernel_impl).
     kernel_impl: str = "scan"
+    # Time-major internal layout: consumes a TIME-MAJOR pyramid (from a
+    # time-major VideoEncoder), runs the whole U-Net stack on [T, B,
+    # ...] tensors — transpose-free ConvLSTM folds/scans — and returns
+    # the same film-strip output (one transpose of z in, one of the
+    # generated frames out).  Bit-exact forward.
+    time_major: bool = False
 
     @nn.compact
     def __call__(
@@ -208,18 +231,24 @@ class VideoDecoder(nn.Module):
         f = self.filter_size
         g = _decoder_geometry(self.x_height, self.x_width)
         b, t_z = z.shape[0], z.shape[1]
+        tm = self.time_major
+        if tm:
+            z = jnp.transpose(z, (1, 0, 2, 3, 4))  # [T_z, B, h4, w4, zc]
 
         def skip(level: int) -> jnp.ndarray:
             feats = pyramid[level]
             if pre_sliced:
                 return feats
+            if tm:
+                return feats[:-1] if training else feats[-1:]
             return feats[:, :-1] if training else feats[:, -1:]
 
-        def fold(seq):  # [B, T, h, w, c] -> [B*T, h, w, c]
+        def fold(seq):  # [(B,T)|(T,B), h, w, c] -> [B*T, h, w, c]
             return seq.reshape((b * t_z,) + seq.shape[2:])
 
-        def unfold(frames):  # [B*T, h, w, c] -> [B, T, h, w, c]
-            return frames.reshape((b, t_z) + frames.shape[1:])
+        def unfold(frames):  # [B*T, h, w, c] -> [(B,T)|(T,B), h, w, c]
+            lead = (t_z, b) if tm else (b, t_z)
+            return frames.reshape(lead + frames.shape[1:])
 
         def maybe_norm(x, name):
             return nn.LayerNorm(epsilon=_LN_EPS, name=name)(x) if self.use_norm else x
@@ -254,6 +283,7 @@ class VideoDecoder(nn.Module):
                 seq_axis=self.seq_axis,
                 conv_packing=self.conv_packing,
                 kernel_impl=self.kernel_impl,
+                time_major=tm,
                 name=dec_name,
             )(h, training=training)
             h = maybe_norm(h, dec_name + "_norm")
@@ -279,6 +309,7 @@ class VideoDecoder(nn.Module):
             seq_axis=self.seq_axis,
             conv_packing=self.conv_packing,
             kernel_impl=self.kernel_impl,
+            time_major=tm,
             name="decoder5",
         )(h, training=training)
         h = maybe_norm(h, "decoder5_norm")
@@ -287,6 +318,9 @@ class VideoDecoder(nn.Module):
             use_bias=False, activation=self.output_activation,
             compute_dtype=self.compute_dtype, name="conv_transpose5",
         )(fold(h))
+        if tm:
+            y = y.reshape(t_z, b, self.x_height, self.x_width, self.nchannel)
+            return jnp.transpose(y, (1, 2, 0, 3, 4))  # film-strip
         y = y.reshape(b, t_z, self.x_height, self.x_width, self.nchannel)
         return jnp.transpose(y, (0, 2, 1, 3, 4))  # film-strip [B, H, T, W, C]
 

@@ -65,12 +65,18 @@ def build_seq_train_step(
     mesh: Mesh,
     *,
     axis_name: str = SEQ_AXIS,
+    compile_only: bool = False,
 ) -> Callable[[TrainState, jax.Array], tuple[TrainState, dict]]:
     """``train_step(state, batch) -> (state, metrics)`` with the time
     axis of every generator activation sharded over ``axis_name``.
 
     ``state`` must be replicated over the mesh and ``batch`` sharded
     with ``seq_batch_sharding`` (film-strip time axis 2).
+
+    ``compile_only`` skips the XLA:CPU-execution-wedge validations
+    below — for tooling that only LOWERS/COMPILES the program on a
+    virtual CPU mesh (comms accounting, HLO reports); the wedges are
+    runtime rendezvous races, compilation is always safe.
     """
     s = mesh.shape[axis_name]
     if cfg.total_time_steps % s or cfg.pred_time_steps % s:
@@ -78,6 +84,46 @@ def build_seq_train_step(
             f"seq mesh size {s} must divide total_time_steps "
             f"({cfg.total_time_steps}) and pred_time_steps "
             f"({cfg.pred_time_steps})"
+        )
+    needs_dropout = cfg.model.dropout > 0.0 or cfg.model.rnn_dropout > 0.0
+    if (
+        not compile_only
+        and needs_dropout
+        and "data" in mesh.axis_names
+        and jax.default_backend() == "cpu"
+    ):
+        # Same XLA:CPU rendezvous wedge class as bf16 below, measured
+        # deterministic in isolation (r5): the per-data-shard dropout
+        # key fold (`seqmodel._shard_rngs` axis_index) adds a collective
+        # family to the 2-D program that races the ring-relay ppermutes
+        # on the forced-host mesh.  1-D seq x dropout is exact and
+        # pinned (test_seqpar.py); the 2-D combination is TPU-only.
+        # Semantics note: under a data axis the dropout masks are
+        # per-shard independent (like the per-shard DP mode,
+        # train/steps.py) — distributionally equivalent to, but not
+        # bit-equal with, the unsharded step.
+        raise ValueError(
+            "sequence parallelism with dropout on a 2-D (data x seq) "
+            "mesh is TPU-only: the XLA:CPU collective rendezvous "
+            "deadlocks on the virtual-device mesh.  Drop the data axis "
+            "(seq-only mesh) or disable dropout for CPU-mesh runs."
+        )
+    if (
+        not compile_only
+        and cfg.compute_dtype == "bfloat16"
+        and jax.default_backend() == "cpu"
+    ):
+        # XLA:CPU wedges on this combination: the bf16 convs force
+        # GSPMD resharding collectives whose rendezvous races the
+        # manual ring-relay ppermutes on the forced-host mesh
+        # (rendezvous.cc 40s hard abort — see constrain_loss_inputs
+        # below for the f32-safe form).  On TPU the program compiles
+        # and runs; fail fast with a clear error instead of the wedge.
+        raise ValueError(
+            "sequence parallelism with compute_dtype='bfloat16' is "
+            "TPU-only: the XLA:CPU collective rendezvous deadlocks on "
+            "the virtual-device mesh.  Use compute_dtype='float32' for "
+            "CPU-mesh runs/tests, or run on TPU devices."
         )
     # 2-D data x seq mesh: batch rows are additionally sharded over the
     # data axis inside the same shard_map (the recurrence is
@@ -92,17 +138,20 @@ def build_seq_train_step(
             f"data mesh size {mesh.shape[data_axis]} must divide "
             f"batch_size ({cfg.batch_size})"
         )
+    # The ring-relay wrappers slice/shard batch-major pyramids; under
+    # cfg.time_major use the batch-major layout twins (same params).
+    sp_encoder, sp_decoder = mods.generator_modules(time_major=False)
 
     def encode(params, video, rngs):
         return time_sharded_encode(
-            mods.encoder, {"params": params}, video, mesh,
+            sp_encoder, {"params": params}, video, mesh,
             training=True, axis_name=axis_name, data_axis=data_axis,
             rngs=rngs,
         )
 
     def decode(params, pyramid, z, rngs):
         return time_sharded_decode(
-            mods.decoder, {"params": params}, pyramid, z, mesh,
+            sp_decoder, {"params": params}, pyramid, z, mesh,
             training=True, axis_name=axis_name, data_axis=data_axis,
             rngs=rngs,
         )

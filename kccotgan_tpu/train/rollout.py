@@ -34,13 +34,18 @@ def build_rollout(cfg: TrainConfig, mods: GanModules, *, jit: bool = True) -> Ca
     """
     num_steps = cfg.pred_time_steps
     m = cfg.model
+    # Rollout always runs the batch-major generator modules (the
+    # incremental-carry slicing below is batch-major); when the
+    # TRAINING step uses cfg.time_major these are layout twins over
+    # the same param trees.
+    encoder, decoder = mods.generator_modules(time_major=False)
 
     def rollout(state: TrainState, context: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
         enc_v = {"params": state.enc_params}
         dec_v = {"params": state.dec_params}
 
         # Encode the context once, keeping ConvLSTM carries.
-        pyramid, carry = mods.encoder.apply(
+        pyramid, carry = encoder.apply(
             enc_v, context, training=False, return_carry=True
         )
         # Inference decode uses only the LAST frame's features (`gan.py:272`).
@@ -52,9 +57,9 @@ def build_rollout(cfg: TrainConfig, mods: GanModules, *, jit: bool = True) -> Ca
         def step(scan_carry, key):
             feats, carry = scan_carry
             z = jax.random.normal(key, z_shape, jnp.float32)
-            frame = mods.decoder.apply(dec_v, feats, z, training=False)
+            frame = decoder.apply(dec_v, feats, z, training=False)
             # frame: [B, H, 1, W, C] film-strip; extend the encoding by it.
-            new_pyr, new_carry = mods.encoder.apply(
+            new_pyr, new_carry = encoder.apply(
                 enc_v,
                 frame,
                 training=False,

@@ -54,7 +54,30 @@ class GanModules:
             # backend; 'pallas' stays available as an explicit opt-in.
             kernel_impl = "scan"
         self.kernel_impl = kernel_impl
-        self.encoder = VideoEncoder(
+        # Generator layout (cfg.time_major): the training step uses the
+        # transpose-free time-major stack; rollout and the seq-parallel
+        # wrappers construct batch-major twins via `generator_modules`
+        # (the flax param trees are layout-independent, so one set of
+        # params serves both).
+        self.encoder, self.decoder = self.generator_modules(cfg.time_major)
+        disc_kwargs = dict(
+            state_size=m.d_state_size,
+            filter_size=m.d_filter_size,
+            use_batch_norm=m.use_norm,
+            compute_dtype=cfg.compute_dtype,
+            scan_remat=cfg.scan_remat,
+            scan_remat_policy=cfg.scan_remat_policy,
+            scan_unroll=cfg.scan_unroll,
+            kernel_impl=kernel_impl,
+        )
+        self.disc_h = VideoDiscriminator(**disc_kwargs)
+        self.disc_m = VideoDiscriminator(**disc_kwargs)
+
+    def generator_modules(self, time_major: bool):
+        """(encoder, decoder) pair in the requested layout — identical
+        param trees either way."""
+        cfg, m = self.cfg, self.cfg.model
+        encoder = VideoEncoder(
             int_time_steps=cfg.int_time_steps,
             filter_size=m.g_filter_size,
             use_norm=m.use_norm,
@@ -65,9 +88,10 @@ class GanModules:
             scan_remat_policy=cfg.scan_remat_policy,
             scan_unroll=cfg.scan_unroll,
             conv_packing=cfg.conv_packing,
-            kernel_impl=kernel_impl,
+            kernel_impl=self.kernel_impl,
+            time_major=time_major,
         )
-        self.decoder = VideoDecoder(
+        decoder = VideoDecoder(
             x_height=m.x_height,
             x_width=m.x_width,
             nchannel=m.n_channels,
@@ -81,20 +105,10 @@ class GanModules:
             scan_remat_policy=cfg.scan_remat_policy,
             scan_unroll=cfg.scan_unroll,
             conv_packing=cfg.conv_packing,
-            kernel_impl=kernel_impl,
+            kernel_impl=self.kernel_impl,
+            time_major=time_major,
         )
-        disc_kwargs = dict(
-            state_size=m.d_state_size,
-            filter_size=m.d_filter_size,
-            use_batch_norm=m.use_norm,
-            compute_dtype=cfg.compute_dtype,
-            scan_remat=cfg.scan_remat,
-            scan_remat_policy=cfg.scan_remat_policy,
-            scan_unroll=cfg.scan_unroll,
-            kernel_impl=kernel_impl,
-        )
-        self.disc_h = VideoDiscriminator(**disc_kwargs)
-        self.disc_m = VideoDiscriminator(**disc_kwargs)
+        return encoder, decoder
 
     def z_shape(self, batch_size: int, time_steps: int) -> tuple:
         m = self.cfg.model

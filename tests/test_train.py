@@ -398,6 +398,60 @@ def test_trainer_fit_synthetic(tmp_path):
     assert {"eval/psnr", "eval/ssim"} <= tags
 
 
+def test_time_major_train_step_matches_batch_major(tiny_batch):
+    """cfg.time_major runs the whole generator stack on [T, B, ...]
+    tensors (no B<->T scan transposes).  The FORWARD is bit-exact (the
+    conv folds are row permutations of identical per-frame convs):
+    loss and pM must be bit-equal.  The BACKWARD differs only by
+    reduction order (dL/dW sums the t*b rows in a different order):
+    measured <= 1.6e-07 relative / 7.3e-12 absolute on the updated
+    params — asserted with margin."""
+    import dataclasses
+
+    results = {}
+    for tm in (False, True):
+        cfg = dataclasses.replace(TINY, time_major=tm)
+        mods = GanModules(cfg)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = build_train_step(cfg, mods, jit=True, donate=False)
+        new_state, metrics = step(state, jnp.asarray(tiny_batch))
+        results[tm] = (new_state, metrics)
+
+    bm_state, bm_metrics = results[False]
+    tm_state, tm_metrics = results[True]
+    assert float(bm_metrics["sinkhorn_loss"]) == float(tm_metrics["sinkhorn_loss"])
+    assert float(bm_metrics["pm"]) == float(tm_metrics["pm"])
+    for name in ("enc_params", "dec_params", "h_params", "m_params"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(getattr(bm_state, name)),
+            jax.tree_util.tree_leaves(getattr(tm_state, name)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-10,
+                err_msg=name,
+            )
+
+
+def test_time_major_with_dropout_is_bit_exact(tiny_batch):
+    """Dropout composes with time_major: the input-dropout fold is
+    already time-major internally, so masks align identically."""
+    import dataclasses
+
+    results = {}
+    for tm in (False, True):
+        cfg = dataclasses.replace(
+            TINY,
+            time_major=tm,
+            model=dataclasses.replace(TINY.model, dropout=0.3, rnn_dropout=0.3),
+        )
+        mods = GanModules(cfg)
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = build_train_step(cfg, mods, jit=True, donate=False)
+        _, metrics = step(state, jnp.asarray(tiny_batch))
+        results[tm] = float(metrics["sinkhorn_loss"])
+    assert results[False] == results[True]
+
+
 def _poison(batch):
     bad = np.array(batch)
     bad[0, 0, 0, 0, 0] = np.nan

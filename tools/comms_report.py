@@ -117,7 +117,9 @@ def main() -> int:
             seq_replicated(mesh),
         )
         batch = jax.device_put(data, seq_batch_sharding(mesh))
-        step = build_seq_train_step(cfg, mods, mesh)
+        # compile_only: this tool never EXECUTES the program, so the
+        # XLA:CPU runtime-rendezvous validations don't apply
+        step = build_seq_train_step(cfg, mods, mesh, compile_only=True)
     else:
         mesh = make_mesh(args.devices)
         state = replicate_state(

@@ -39,6 +39,8 @@ def main() -> int:
     p.add_argument("--time-steps", type=int, default=20)
     p.add_argument("--context", type=int, default=10)
     p.add_argument("--top", type=int, default=15)
+    p.add_argument("--time-major", action="store_true",
+                   help="report the time-major generator layout program")
     args = p.parse_args()
 
     os.environ.setdefault(
@@ -59,6 +61,7 @@ def main() -> int:
         int_time_steps=args.context,
         sinkhorn_l=100,
         donate_buffers=False,
+        time_major=args.time_major,
         model=ModelConfig(x_height=64, x_width=64, n_channels=1),
     )
     mods = GanModules(cfg)
