@@ -128,10 +128,16 @@ def main() -> int:
     p.add_argument("--conv-packing", default="off", choices=["auto", "off"],
                    help="space-to-depth MXU-lane packing of stride-1 "
                         "small-filter ConvLSTMs")
-    p.add_argument("--time-major", action="store_true",
+    p.add_argument("--time-major", dest="time_major", default=None,
+                   action="store_true",
                    help="time-major generator layout ([T, B, ...] "
                         "through the encoder/decoder stacks — no B<->T "
-                        "scan transposes; bit-exact forward)")
+                        "scan transposes; bit-exact forward).  Default "
+                        "follows TrainConfig (ON) so the driver's bench "
+                        "measures the shipped configuration")
+    p.add_argument("--no-time-major", dest="time_major",
+                   action="store_false",
+                   help="batch-major generator layout")
     p.add_argument("--kernel-impl", default=None,
                    choices=["scan", "pallas", "auto"],
                    help="ConvLSTM/LSTM recurrence engine (fused Pallas "
@@ -162,6 +168,8 @@ def main() -> int:
 
     if args.kernel_impl is None:
         args.kernel_impl = TrainConfig.kernel_impl  # shipped default
+    if args.time_major is None:
+        args.time_major = TrainConfig.time_major  # shipped default
     cfg = TrainConfig(
         dname="mmnist",
         batch_size=args.batch,

@@ -120,7 +120,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="time-major generator layout: the encoder "
                         "pyramid + U-Net decoder run on [T, B, ...] "
                         "tensors, eliminating the B<->T layout copies "
-                        "of every ConvLSTM scan; bit-exact forward)")
+                        "of every ConvLSTM scan; bit-exact forward. "
+                        "Default ON (measured faster on v5e)")
+    p.add_argument("--no_time_major", dest="time_major",
+                   action="store_false",
+                   help="batch-major generator layout")
     p.add_argument("--profile_steps", type=str, default="",
                    help="'start,stop' step window to capture an XLA trace "
                         "into <run_dir>/profile (e.g. '5,8')")

@@ -145,8 +145,10 @@ class TrainConfig:
     # (row-permuted identical per-frame convs; pinned in
     # tests/test_train.py); backward differs only by dL/dW reduction
     # order (<= 2e-07 relative).  Rollout and sequence parallelism keep
-    # the batch-major modules (same param trees).
-    time_major: bool = False
+    # the batch-major modules (same param trees).  Default ON: measured
+    # 148.2 vs 150.6 ms/step on the v5e flagship (+1.6 %, consistent
+    # across paired 20- and 40-step runs — PARITY.md r5).
+    time_major: bool = True
 
     # Run the 4 discriminator passes (h/m x real/fake) as ONE vmapped
     # call over stacked params: 4x fewer scan launches at 4x batch.

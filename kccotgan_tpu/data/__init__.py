@@ -9,6 +9,7 @@ from .tfrecord import (
     encode_sequence_example,
     iter_tfrecord,
     parse_example,
+    parse_example_arrays,
     parse_sequence_example,
     write_tfrecord,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "write_mmnist_fixture",
     "iter_tfrecord",
     "parse_example",
+    "parse_example_arrays",
     "parse_sequence_example",
     "encode_example",
     "encode_sequence_example",
