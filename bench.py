@@ -125,9 +125,10 @@ def main() -> int:
                         "keeps recurrent conv outputs, recomputes only "
                         "gate math in backward); per-layer overrides "
                         "like 'carry_only,decoder5=save_recurrent'")
-    p.add_argument("--conv-packing", default="off", choices=["auto", "off"],
+    p.add_argument("--conv-packing", default=None, choices=["auto", "off"],
                    help="space-to-depth MXU-lane packing of stride-1 "
-                        "small-filter ConvLSTMs")
+                        "small-filter ConvLSTMs.  Default follows "
+                        "TrainConfig ('auto' since r5)")
     p.add_argument("--time-major", dest="time_major", default=None,
                    action="store_true",
                    help="time-major generator layout ([T, B, ...] "
@@ -170,6 +171,8 @@ def main() -> int:
         args.kernel_impl = TrainConfig.kernel_impl  # shipped default
     if args.time_major is None:
         args.time_major = TrainConfig.time_major  # shipped default
+    if args.conv_packing is None:
+        args.conv_packing = TrainConfig.conv_packing  # shipped default
     cfg = TrainConfig(
         dname="mmnist",
         batch_size=args.batch,

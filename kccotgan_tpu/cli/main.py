@@ -103,11 +103,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scan-body checkpoint policy (HBM vs recompute): "
                         "'carry_only', 'save_recurrent', or a per-layer "
                         "spec like 'carry_only,decoder5=save_recurrent'")
-    p.add_argument("--conv_packing", type=str, default="off",
+    p.add_argument("--conv_packing", type=str,
+                   default=TrainConfig.conv_packing,
                    choices=["auto", "off"],
                    help="space-to-depth MXU-lane packing of stride-1 "
                         "small-filter ConvLSTMs ('off' = bit-exact "
-                        "unpacked numerics; models/conv_packing.py)")
+                        "unpacked numerics; models/conv_packing.py). "
+                        "Default follows TrainConfig ('auto' since r5 — "
+                        "wins under the time-major layout)")
     p.add_argument("--kernel_impl", type=str, default=TrainConfig.kernel_impl,
                    choices=["scan", "pallas", "auto"],
                    help="ConvLSTM/LSTM recurrence engine: lax.scan oracle, "

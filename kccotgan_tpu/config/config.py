@@ -122,11 +122,14 @@ class TrainConfig:
     # 'auto': run stride-1 small-filter ConvLSTMs (decoder5 at default
     # g_state_size=8: 4f=32 of 128 MXU lanes) on space-to-depth-packed
     # tensors — the same linear map with r^2-fatter channels
-    # (models/conv_packing.py).  Measured SLOWER on the v5e flagship
-    # (165.6 vs 161.3 ms — XLA's conv emitter already handles small-N
-    # convs; the relayouts added ~10 GB/step of HBM traffic, PARITY.md),
-    # so the default is 'off'; kept as an opt-in experiment knob.
-    conv_packing: str = "off"
+    # (models/conv_packing.py; reduction order differs at ULP level,
+    # 'off' restores bit-exact unpacked numerics).  History: measured
+    # SLOWER under the batch-major layout (165.6 vs 161.3 ms — the
+    # relayouts it forced added ~10 GB/step of HBM traffic), but the r5
+    # time-major plumbing removed that relayout population and the
+    # verdict FLIPPED: 145.5/145.9 vs 148.2 ms/step paired runs
+    # (+1.8 %, MFU 18.7 % — PARITY.md).  Default 'auto' since r5.
+    conv_packing: str = "auto"
     # ConvLSTM recurrence engine: 'scan' = lax.scan over T (the
     # bit-replication oracle), 'pallas' = fused single-kernel recurrence
     # ((h, c) VMEM-resident for all T, no B<->T transposes —

@@ -107,7 +107,17 @@ def ssim(
     num1 = 2.0 * _blur(x * y, window)
     den1 = _blur(jnp.square(x), window) + _blur(jnp.square(y), window)
     cs = (num1 - num0 + c2) / (den1 - den0 + c2)
-    per_frame = jnp.mean(luminance * cs, axis=(1, 2, 3))
+    # Mathematical range guard: SSIM is in [-1, 1], but tf.image's
+    # num/den split computes the window variances as E[x^2] - E[x]^2 —
+    # a catastrophic f32 cancellation on near-constant windows (variance
+    # ~1e-8 under means ~1 is below f32 eps of the big terms), which can
+    # blow cs far past 1 (observed: a per-step report value of 1.57 on
+    # a flat predicted frame).  Clip the per-window map to the valid
+    # range: a no-op for well-conditioned windows (the tf-oracle parity
+    # tests stay bitwise-tight), a fix for degenerate ones.
+    per_frame = jnp.mean(
+        jnp.clip(luminance * cs, -1.0, 1.0), axis=(1, 2, 3)
+    )
     return per_frame.reshape(b, ts)
 
 
